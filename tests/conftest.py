@@ -1,0 +1,20 @@
+"""Test configuration.
+
+Forces JAX onto CPU with 8 virtual devices BEFORE jax is imported anywhere, so
+mesh/pjit/sharding tests run single-process without TPU hardware (SURVEY.md §4
+item 5). fp32 on CPU also gives bit-exact parity with the torch reference.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
