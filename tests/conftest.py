@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+
+# JAX CPU's default matmul precision is reduced (~bf16 accumulation); parity
+# tests against torch/numpy need true fp32. The framework itself leaves
+# precision at the platform default (bf16 on the TPU MXU is the perf path).
+jax.config.update("jax_default_matmul_precision", "highest")
