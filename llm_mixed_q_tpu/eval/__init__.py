@@ -8,6 +8,7 @@ search objectives are inert — identical behavior here, documented.
 from .eval_cls import eval_cls_glue
 from .eval_lm import eval_lm_wikitext2
 from .metrics import TASK_TO_METRICS, compute_glue_metrics
+from .prompting import eval_prompting_task, eval_prompting_tasks, loglikelihood_batch
 
 
 def eval_dse_results(config, is_mixed: bool = False) -> dict:

@@ -76,8 +76,27 @@ def quantized_linear(
 ):
     """y = q_a(x) @ q_w(W)^T + q_b(b).
 
-    x: [..., in]; w: [out, in]; b: [out] or None.
+    x: [..., in]; w: [out, in] array OR PackedBFP; b: [out] or None.
+
+    When ``w`` is a ``PackedBFP`` (packed int8 codes + per-block scales,
+    produced by ``prepare_packed``), the fused Pallas dequant-matmul runs
+    instead of the fake-quant path — activations are still quantized per the
+    node's data_in config, exactly like the reference semantics.
     """
+    from ..kernels.packing import PackedBFP
+
+    if isinstance(w, PackedBFP):
+        from ..kernels.dequant_matmul import bfp_matmul
+
+        xq = x
+        if not config.get("bypass", False):
+            xq = make_entry_quantizer(config, "data_in", skip_first_dim=True)(x)
+        out = bfp_matmul(xq, w)
+        out = out if b is None else out + b
+        if _TAP_COLLECTOR is not None and node_name is not None:
+            _TAP_COLLECTOR.on_linear(node_name, x, w, b, out)
+        return out
+
     # raw operands for the stat tap: the reference's pre-forward hooks see the
     # UNquantized input/weight (quantization happens inside forward)
     x_raw, w_raw, b_raw = x, w, b

@@ -1,0 +1,226 @@
+"""Quantization-aware training (QAT).
+
+Reference: src/llm_mixed_q/train/train_ddp.py + train_fsdp.py (1,257 LoC of
+HF Accelerate DDP/FSDP loops). TPU-native redesign: one jitted train step
+over a (data, model) mesh — batch sharded on "data", params replicated (DDP
+analogue) or sharded (fsdp=True, ZeRO-3 analogue); XLA inserts the grad
+psum / param all-gathers. The QAT property itself comes from the model:
+``quantize_weights=True`` fake-quantizes weights/activations every forward
+and STE passes gradients (reference linear.py:59-76 QAT mode).
+
+Checkpoint/resume via orbax (replaces accelerator.save_state,
+train_fsdp.py:216-242,497-527).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models import get_model_fn
+from ..parallel import make_mesh, param_specs
+
+logger = logging.getLogger(__name__)
+
+
+def make_qat_train_step(arch, task, config, optimizer, mesh=None, fsdp=False):
+    """Returns jitted ``train_step(params, opt_state, batch) ->
+    (params, opt_state, loss)``. ``batch`` = dict(input_ids, attention_mask,
+    labels)."""
+    model_fn = get_model_fn(arch, task)
+
+    def loss_fn(params, batch):
+        out = model_fn(
+            params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            labels=batch["labels"],
+            config=config,
+            quantize_weights=True,  # QAT: fake-quant fwd, STE bwd
+        )
+        return out["loss"]
+
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # with a mesh, shardings are attached to the arrays via shard_params /
+    # device_put before the first call; jit propagates them and XLA inserts
+    # the grad psum (DDP) or param all-gathers (fsdp)
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_adamw(
+    learning_rate: float,
+    weight_decay: float = 0.0,
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+    schedule: str = "linear",
+):
+    """AdamW with no-decay groups for bias/norm params + LR schedule
+    (mirrors the reference's optimizer setup, train_fsdp.py:420-447)."""
+    if total_steps is not None:
+        if schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, warmup_steps, total_steps
+            )
+        else:
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
+                    optax.linear_schedule(
+                        learning_rate, 0.0, max(total_steps - warmup_steps, 1)
+                    ),
+                ],
+                [warmup_steps],
+            )
+    else:
+        lr = learning_rate
+
+    def decay_mask(params):
+        def is_decay(path, leaf):
+            names = [getattr(k, "key", "") for k in path]
+            # no decay for biases and *norm weights (reference no-decay groups)
+            if names and names[-1] == "bias":
+                return False
+            if any("norm" in str(n).lower() for n in names):
+                return False
+            return getattr(leaf, "ndim", 0) >= 2
+
+        return jax.tree_util.tree_map_with_path(is_decay, params)
+
+    return optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask)
+
+
+def train_qat(
+    arch: str,
+    task: str,
+    config,
+    params,
+    train_batches_factory,
+    eval_fn=None,
+    num_epochs: int = 1,
+    learning_rate: float = 2e-5,
+    weight_decay: float = 0.0,
+    grad_accum_steps: int = 1,
+    schedule: str = "cosine",
+    warmup_steps: int = 0,
+    checkpoint_dir: str | None = None,
+    save_every_steps: int | None = None,
+    resume: bool = False,
+    mesh=None,
+    fsdp: bool = False,
+    steps_per_epoch: int | None = None,
+    log_every: int = 50,
+):
+    """Full QAT fine-tune loop with checkpoint/resume.
+
+    ``train_batches_factory()`` yields dict batches per epoch.
+    Returns (params, history).
+    """
+    total_steps = (
+        num_epochs * steps_per_epoch if steps_per_epoch is not None else None
+    )
+    optimizer = make_adamw(
+        learning_rate, weight_decay, total_steps, warmup_steps, schedule
+    )
+    if grad_accum_steps > 1:
+        optimizer = optax.MultiSteps(optimizer, grad_accum_steps)
+    opt_state = optimizer.init(params)
+    step_fn = make_qat_train_step(arch, task, config, optimizer, mesh, fsdp)
+
+    start_step = 0
+    mngr = None
+    if checkpoint_dir is not None:
+        mngr = _checkpoint_manager(checkpoint_dir)
+        if resume:
+            restored = restore_checkpoint(mngr, params, opt_state)
+            if restored is not None:
+                params, opt_state, start_step = restored
+                logger.info(f"Resumed from step {start_step}")
+
+    if mesh is not None:
+        from ..parallel import shard_params
+
+        params = shard_params(params, mesh, fsdp=fsdp)
+        batch_sharding = NamedSharding(mesh, P("data"))
+    else:
+        batch_sharding = None
+
+    history = []
+    global_step = 0
+    for epoch in range(num_epochs):
+        for batch in train_batches_factory():
+            if global_step < start_step:
+                global_step += 1
+                continue
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if batch_sharding is not None:
+                jb = {k: jax.device_put(v, batch_sharding) for k, v in jb.items()}
+            params, opt_state, loss = step_fn(params, opt_state, jb)
+            global_step += 1
+            if global_step % log_every == 0:
+                logger.info(f"step {global_step} loss {float(loss):.4f}")
+            if (
+                mngr is not None
+                and save_every_steps
+                and global_step % save_every_steps == 0
+            ):
+                save_checkpoint(mngr, params, opt_state, global_step)
+        epoch_metrics = {"epoch": epoch, "loss": float(loss)}
+        if eval_fn is not None:
+            epoch_metrics.update(eval_fn(params))
+            logger.info(f"epoch {epoch}: {epoch_metrics}")
+        history.append(epoch_metrics)
+    if mngr is not None:
+        save_checkpoint(mngr, params, opt_state, global_step)
+        mngr.wait_until_finished()
+    return params, history
+
+
+# ------------------------------------------------------------- checkpointing
+
+
+def _checkpoint_manager(checkpoint_dir: str):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        Path(checkpoint_dir).absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+    )
+
+
+def save_checkpoint(mngr, params, opt_state, step: int):
+    import orbax.checkpoint as ocp
+
+    mngr.save(
+        step,
+        args=ocp.args.Composite(
+            params=ocp.args.StandardSave(params),
+            opt_state=ocp.args.StandardSave(opt_state),
+        ),
+    )
+
+
+def restore_checkpoint(mngr, params_like, opt_state_like):
+    import orbax.checkpoint as ocp
+
+    step = mngr.latest_step()
+    if step is None:
+        return None
+    restored = mngr.restore(
+        step,
+        args=ocp.args.Composite(
+            params=ocp.args.StandardRestore(params_like),
+            opt_state=ocp.args.StandardRestore(opt_state_like),
+        ),
+    )
+    return restored["params"], restored["opt_state"], step

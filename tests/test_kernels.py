@@ -1,0 +1,103 @@
+"""Packed BFP storage + fused dequant-matmul kernel tests.
+
+SURVEY.md §4 item 3: the Pallas packed dequant-matmul must match the
+pure-jnp fake-quant matmul (interpret mode on CPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llm_mixed_q_tpu.kernels import (
+    PackedBFP,
+    bfp_matmul,
+    pack_block_fp,
+    packed_nbytes,
+    unpack_block_fp,
+)
+from llm_mixed_q_tpu.ops.quantizers.block_fp import _block_fp_qdq
+
+RNG = np.random.default_rng(0)
+
+
+def _w(shape, scale=0.05):
+    w = RNG.standard_normal(shape).astype(np.float32) * scale
+    w.reshape(-1)[:: 37] = 0.0  # exact zeros
+    return w
+
+
+@pytest.mark.parametrize("shape", [(32, 64), (16, 48), (8, 16)])
+@pytest.mark.parametrize("width", [4, 6, 8])
+def test_pack_unpack_matches_fake_quant(shape, width):
+    w = _w(shape)
+    packed = pack_block_fp(jnp.asarray(w), width, 8, None, block_size=[1, 16])
+    deq = np.asarray(unpack_block_fp(packed))
+    ref = np.asarray(
+        _block_fp_qdq(jnp.asarray(w), width, 8, None, [1, 16], skip_first_dim=False)
+    )
+    # identical except the |x|<=1e-8 passthrough (documented deviation):
+    tiny = np.abs(w) <= 1e-8
+    np.testing.assert_allclose(deq[~tiny], ref[~tiny], rtol=0, atol=0)
+    # passthrough elements land on (near-)zero grid points in packed storage
+    assert np.all(np.abs(deq[tiny]) <= np.abs(ref[tiny]) + 1e-6)
+
+
+def test_pack_padding_non_divisible():
+    w = _w((8, 40))  # 40 not divisible by 16
+    packed = pack_block_fp(jnp.asarray(w), 6, 8, None, block_size=[1, 16])
+    assert packed.codes.shape == (8, 48)
+    deq = np.asarray(unpack_block_fp(packed))
+    assert deq.shape == (8, 40)
+    ref = np.asarray(
+        _block_fp_qdq(jnp.asarray(w), 6, 8, None, [1, 16], skip_first_dim=False)
+    )
+    tiny = np.abs(w) <= 1e-8
+    np.testing.assert_allclose(deq[~tiny], ref[~tiny], rtol=0, atol=0)
+
+
+def test_packed_nbytes_compression():
+    w = _w((128, 256))
+    packed = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16])
+    ratio = (w.size * 4) / packed_nbytes(packed)
+    assert ratio > 3.0  # int8 codes + f32/16 scales ~ 3.2x vs fp32
+
+
+def test_pytree_registration():
+    w = _w((8, 32))
+    packed = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16])
+    leaves = jax.tree_util.tree_leaves(packed)
+    assert len(leaves) == 2
+    mapped = jax.tree_util.tree_map(lambda x: x, packed)
+    assert isinstance(mapped, PackedBFP)
+    assert mapped.width == 6
+
+
+@pytest.mark.parametrize("m,n,k", [(16, 32, 64), (8, 16, 32), (64, 128, 256)])
+@pytest.mark.parametrize("width", [4, 6])
+def test_pallas_kernel_matches_unpack_matmul(m, n, k, width):
+    # activations arrive BFP-quantized in the real pipeline (data_in config),
+    # so their values are exact in the kernel's bf16 cast
+    x_raw = RNG.standard_normal((m, k)).astype(np.float32)
+    x = np.asarray(
+        _block_fp_qdq(jnp.asarray(x_raw), 6, 8, None, [1, 16], skip_first_dim=True)
+    )
+    w = _w((n, k))
+    packed = pack_block_fp(jnp.asarray(w), width, 8, None, [1, 16])
+    # oracle: unpack + f32 matmul
+    ref = x @ np.asarray(unpack_block_fp(packed)).T
+    out = bfp_matmul(jnp.asarray(x), packed, use_pallas=True, interpret=True)
+    # bf16 operands are exact for quantized values; only f32 accumulation
+    # order differs from the oracle
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fallback_matches_kernel_path():
+    x = RNG.standard_normal((4, 3, 32)).astype(np.float32)  # leading dims
+    w = _w((24, 32))
+    packed = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16])
+    fb = bfp_matmul(jnp.asarray(x), packed, use_pallas=False)
+    kn = bfp_matmul(jnp.asarray(x), packed, use_pallas=True, interpret=True)
+    assert fb.shape == (4, 3, 24)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(kn), rtol=2e-3, atol=2e-3)

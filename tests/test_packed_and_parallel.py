@@ -1,0 +1,145 @@
+"""Packed-weight model path, sharding/mesh, QAT step, graft entry points."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llm_mixed_q_tpu.models.api import make_forward
+from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+from llm_mixed_q_tpu.models.llama import LlamaQuantizedConfig
+from llm_mixed_q_tpu.models.llama.pack import pack_llama_params
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from __graft_entry__ import BFP6, dryrun_multichip, entry
+
+TINY = dict(
+    vocab_size=96,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+)
+
+
+def test_packed_llama_matches_fake_quant():
+    config = LlamaQuantizedConfig(**TINY, quant_config=BFP6)
+    params = init_llama_params(config, task="lm", seed=0)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 96, size=(2, 24)), dtype=jnp.int32)
+
+    fake = make_forward("llama", "lm", config, quantize_weights=True)
+    ref = np.asarray(fake(params, ids, None)["logits"])
+
+    packed_params = pack_llama_params(params, config)
+    # packed path serves with quantize_weights=False (weights already packed)
+    packed_fwd = make_forward("llama", "lm", config, quantize_weights=False)
+    out = np.asarray(packed_fwd(packed_params, ids, None)["logits"])
+    # |w|<=1e-8 passthrough elements land on the grid in packed storage;
+    # everything else is exact up to matmul accumulation order
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_param_specs_cover_tree():
+    from llm_mixed_q_tpu.parallel import param_specs
+
+    config = LlamaQuantizedConfig(**TINY, quant_config=BFP6)
+    params = init_llama_params(config, task="lm", seed=0)
+    specs = param_specs(params)
+    from jax.sharding import PartitionSpec as P
+
+    q_spec = specs["layers"][0]["self_attn"]["q_proj"]["weight"]
+    assert q_spec == P("model", None)
+    o_spec = specs["layers"][0]["self_attn"]["o_proj"]["weight"]
+    assert o_spec == P(None, "model")
+    down = specs["layers"][0]["mlp"]["down_proj"]["weight"]
+    assert down == P(None, "model")
+    # packed params produce specs for codes AND scales
+    packed = pack_llama_params(params, config)
+    pspecs = param_specs(packed)
+    node = pspecs["layers"][0]["self_attn"]["q_proj"]["weight"]
+    assert node.codes == P("model", None)
+    assert node.scales == P("model", None)
+
+
+def test_sharded_forward_8_virtual_devices():
+    from llm_mixed_q_tpu.parallel import make_mesh, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(data=2, model=4)
+    config = LlamaQuantizedConfig(**TINY, quant_config=BFP6)
+    params = init_llama_params(config, task="lm", seed=0)
+    params = shard_params(params, mesh)
+    fwd = make_forward("llama", "lm", config, quantize_weights=True)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 96, size=(4, 16)), dtype=jnp.int32)
+    ids = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    out = fwd(params, ids, None)
+    assert out["logits"].shape == (4, 16, 96)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_qat_train_step_reduces_loss():
+    import optax
+
+    from llm_mixed_q_tpu.train import make_qat_train_step
+
+    config = LlamaQuantizedConfig(**TINY, quant_config=BFP6)
+    params = init_llama_params(config, task="lm", seed=0)
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_qat_train_step("llama", "lm", config, optimizer)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, size=(2, 16))
+    batch = {
+        "input_ids": jnp.asarray(ids, dtype=jnp.int32),
+        "attention_mask": jnp.ones((2, 16), dtype=jnp.int32),
+        "labels": jnp.asarray(ids, dtype=jnp.int32),
+    }
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses  # memorizes the fixed batch via STE
+
+
+def test_qat_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from llm_mixed_q_tpu.train.qat import (
+        _checkpoint_manager,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    config = LlamaQuantizedConfig(**TINY, quant_config=None)
+    params = init_llama_params(config, task="lm", seed=0)
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    mngr = _checkpoint_manager(str(tmp_path / "ckpt"))
+    save_checkpoint(mngr, params, opt_state, step=7)
+    mngr.wait_until_finished()
+    restored = restore_checkpoint(mngr, params, opt_state)
+    assert restored is not None
+    r_params, _, step = restored
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(r_params["embed_tokens"]["weight"]),
+        np.asarray(params["embed_tokens"]["weight"]),
+    )
+
+
+def test_graft_entry_compiles():
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 64, 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_8():
+    dryrun_multichip(8)
