@@ -1,0 +1,259 @@
+"""Serving path: fixed-size KV cache, jitted decode step, greedy generation.
+
+The reference has no serving stack (it re-runs full forwards and concats KV
+tuples, modeling_llama.py:301-306 — shapes grow every step, which under XLA
+would recompile per step). Here the cache is pre-allocated
+[n_layers, 2, batch, n_kv_heads, max_len, head_dim]; one decode step is a
+single jitted program with ``lax.dynamic_update_slice`` appends and a length
+mask — constant shapes, compiled once.
+
+Quantized KV cache: K/V are fake-quantized AT APPEND TIME, per token with
+blocks along head_dim (the hardware-sane design the reference's [1,16]
+activation blocks imply — SURVEY.md §7 "hard parts"). The reference instead
+re-quantizes the whole K/V matrix every forward with blocks along the
+kv axis; the two differ only in which 16 elements share an exponent. The
+scoring/perplexity path keeps exact reference semantics; this applies to
+incremental decoding only.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.functions import (
+    make_entry_quantizer,
+    quantized_apply_rotary_pos_emb,
+)
+from ...ops.linear import quantized_linear
+from .configuration import LlamaQuantizedConfig
+from .modeling import NEG_INF, _node_cfg, mlp, rms_norm, rope_tables
+
+
+def init_kv_cache(config: LlamaQuantizedConfig, batch: int, max_len: int):
+    shape = (
+        config.num_hidden_layers,
+        2,
+        batch,
+        config.num_key_value_heads,
+        max_len,
+        config.head_dim,
+    )
+    return jnp.zeros(shape, dtype=jnp.float32)
+
+
+def _quantize_kv_append(k, v, mm0_cfg, mm1_cfg):
+    """Quantize per-token K/V along head_dim before caching.
+
+    K uses matmul_0's weight_* keys (it is matmul_0's second operand);
+    V uses matmul_1's weight_* keys. Elementwise ariths apply directly;
+    block ariths block along the last dim (head_dim) per token.
+    """
+
+    def q(x, cfg):
+        if cfg.get("bypass", False):
+            return x
+        b, h, s, d = x.shape
+        quantizer = make_entry_quantizer(cfg, "weight", skip_first_dim=True)
+        return quantizer(x.reshape(b * h * s, d)).reshape(b, h, s, d)
+
+    return q(k, mm0_cfg), q(v, mm1_cfg)
+
+
+def _attention_cached(
+    params,
+    hidden,
+    cache_layer,  # [2, b, nkv, max_len, hd]
+    position,  # scalar int32: current length before this token
+    cos,
+    sin,
+    config,
+    layer_idx,
+    quantize_weights,
+):
+    b, q_len, _ = hidden.shape  # q_len == 1
+    nh, nkv, hd = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    max_len = cache_layer.shape[3]
+    qc = partial(_node_cfg, config.quant_config, layer_idx, "self_attn")
+
+    def proj(name, nheads):
+        out = quantized_linear(
+            hidden,
+            params[name]["weight"],
+            params[name].get("bias"),
+            qc(name),
+            quantize_weights,
+        )
+        return out.reshape(b, q_len, nheads, hd).transpose(0, 2, 1, 3)
+
+    q = proj("q_proj", nh)
+    k = proj("k_proj", nkv)
+    v = proj("v_proj", nkv)
+
+    pos_ids = jnp.full((b, 1), position, dtype=jnp.int32)
+    q, k = quantized_apply_rotary_pos_emb(
+        q, k, cos, sin, pos_ids, qc("rotary_positional_encoding")
+    )
+
+    kq, vq = _quantize_kv_append(k, v, qc("matmul_0"), qc("matmul_1"))
+    cache_layer = jax.lax.dynamic_update_slice(
+        cache_layer, kq[None], (0, 0, 0, position, 0)
+    )
+    cache_layer = jax.lax.dynamic_update_slice(
+        cache_layer, vq[None], (1, 0, 0, position, 0)
+    )
+    k_all, v_all = cache_layer[0], cache_layer[1]  # [b, nkv, max_len, hd]
+    if nh != nkv:
+        rep = nh // nkv
+        k_all = jnp.repeat(k_all, rep, axis=1)
+        v_all = jnp.repeat(v_all, rep, axis=1)
+
+    # q quantized per matmul_0 data_in; cached K already quantized
+    mm0 = qc("matmul_0")
+    if not mm0.get("bypass", False):
+        qq = make_entry_quantizer(mm0, "data_in", skip_first_dim=True)
+        q = qq(q.reshape(b * nh, q_len, hd)).reshape(b, nh, q_len, hd)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_all) / math.sqrt(hd)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3) <= position
+    )
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    mm1 = qc("matmul_1")
+    if not mm1.get("bypass", False):
+        pq = make_entry_quantizer(mm1, "data_in", skip_first_dim=True)
+        probs = pq(probs.reshape(b * nh, q_len, max_len)).reshape(
+            b, nh, q_len, max_len
+        )
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, nh * hd)
+    out = quantized_linear(
+        ctx,
+        params["o_proj"]["weight"],
+        params["o_proj"].get("bias"),
+        qc("o_proj"),
+        quantize_weights,
+    )
+    return out, cache_layer
+
+
+def decode_step(
+    params,
+    token,  # [b, 1] int32
+    cache,  # [L, 2, b, nkv, max_len, hd]
+    position,  # scalar int32
+    config: LlamaQuantizedConfig,
+    quantize_weights: bool = True,
+):
+    """One incremental decode step -> (logits [b, vocab], new cache)."""
+    hidden = params["embed_tokens"]["weight"][token]
+    max_len = cache.shape[4]
+    cos, sin = rope_tables(max_len, config.head_dim, config.rope_theta, hidden.dtype)
+    new_cache = []
+    for i, layer_params in enumerate(params["layers"]):
+        residual = hidden
+        h = rms_norm(
+            hidden, layer_params["input_layernorm"]["weight"], config.rms_norm_eps
+        )
+        h, layer_cache = _attention_cached(
+            layer_params["self_attn"],
+            h,
+            cache[i],
+            position,
+            cos,
+            sin,
+            config,
+            i,
+            quantize_weights,
+        )
+        hidden = residual + h
+        residual = hidden
+        h = rms_norm(
+            hidden,
+            layer_params["post_attention_layernorm"]["weight"],
+            config.rms_norm_eps,
+        )
+        h = mlp(layer_params["mlp"], h, config, i, quantize_weights)
+        hidden = residual + h
+        new_cache.append(layer_cache)
+    hidden = rms_norm(hidden, params["norm"]["weight"], config.rms_norm_eps)
+    lm_w = params.get("lm_head", params["embed_tokens"])["weight"]
+    logits = hidden[:, 0] @ lm_w.T
+    return logits, jnp.stack(new_cache)
+
+
+def prefill_into_cache(params, input_ids, attention_mask, cache, config,
+                       quantize_weights=True):
+    """Run the full forward and write quantized K/V into the fixed cache.
+
+    Returns (last-token logits [b, vocab], cache, lengths [b]).
+    """
+    from .modeling import llama_for_causal_lm
+
+    out = llama_for_causal_lm(
+        params,
+        input_ids,
+        attention_mask,
+        config=config,
+        quantize_weights=quantize_weights,
+    )
+    seq_len = input_ids.shape[1]
+    for i, (k, v) in enumerate(out["past_kvs"]):
+        qc = partial(_node_cfg, config.quant_config, i, "self_attn")
+        kq, vq = _quantize_kv_append(k, v, qc("matmul_0"), qc("matmul_1"))
+        cache = jax.lax.dynamic_update_slice(
+            cache, kq[None, None], (i, 0, 0, 0, 0, 0)
+        )
+        cache = jax.lax.dynamic_update_slice(
+            cache, vq[None, None], (i, 1, 0, 0, 0, 0)
+        )
+    lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    last_idx = jnp.maximum(lengths - 1, 0)
+    logits = out["logits"][jnp.arange(input_ids.shape[0]), last_idx]
+    return logits, cache, lengths
+
+
+def generate_greedy(
+    params,
+    config: LlamaQuantizedConfig,
+    input_ids,
+    attention_mask=None,
+    max_new_tokens: int = 32,
+    max_len: int | None = None,
+    quantize_weights: bool = True,
+):
+    """Greedy decoding with the fixed-size quantized KV cache (jitted
+    prefill + one jitted decode step reused every token)."""
+    input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
+    b, prompt_len = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+    if max_len is None:
+        max_len = prompt_len + max_new_tokens
+    cache = init_kv_cache(config, b, max_len)
+
+    prefill = jax.jit(
+        lambda p, i, m, c: prefill_into_cache(p, i, m, c, config, quantize_weights)
+    )
+    step = jax.jit(
+        lambda p, t, c, pos: decode_step(p, t, c, pos, config, quantize_weights)
+    )
+
+    logits, cache, lengths = prefill(params, input_ids, attention_mask, cache)
+    # single shared position (right-aligned batches assumed; pad-free prompts)
+    position = int(prompt_len)
+    tokens = [jnp.argmax(logits, axis=-1).astype(jnp.int32)]
+    for t in range(max_new_tokens - 1):
+        logits, cache = step(
+            params, tokens[-1][:, None], cache, jnp.int32(position + t)
+        )
+        tokens.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+    return np.stack([np.asarray(t) for t in tokens], axis=1)
