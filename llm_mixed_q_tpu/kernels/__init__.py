@@ -1,8 +1,15 @@
-from .dequant_matmul import bfp_matmul, bfp_matmul_pallas
+from .dequant_matmul import (
+    bfp_matmul,
+    bfp_matmul_pallas,
+    bfp_matmul_subbyte_pallas,
+)
 from .packing import (
     PackedBFP,
+    PackedBFPSub,
     effective_block_len,
     pack_block_fp,
+    pack_block_fp_subbyte,
     packed_nbytes,
     unpack_block_fp,
+    unpack_block_fp_subbyte,
 )

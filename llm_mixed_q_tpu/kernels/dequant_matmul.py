@@ -29,7 +29,27 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .packing import PackedBFP, unpack_block_fp
+from .packing import (
+    _SLICE,
+    PackedBFP,
+    PackedBFPSub,
+    unpack_block_fp,
+    unpack_block_fp_subbyte,
+)
+
+
+def _expand_scales(scales, block: int, width: int):
+    """[bn, nb] per-block scales -> [bn, nb*block] per-lane, via a one-hot
+    expansion matmul (Mosaic rejects the lane-splitting reshape+broadcast;
+    a [bn, nb] @ [nb, nb*block] dot is natively supported and cheap)."""
+    nb = scales.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb * block), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb * block), 1)
+    expand = (cols // block == rows).astype(jnp.float32)
+    return jax.lax.dot_general(
+        scales, expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _dequant_matmul_kernel(x_ref, codes_ref, scales_ref, o_ref, *, block: int,
@@ -41,9 +61,8 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scales_ref, o_ref, *, block: int,
         o_ref[:] = jnp.zeros_like(o_ref)
 
     codes = codes_ref[:].astype(jnp.float32)  # [bn, bk]
-    scales = scales_ref[:]  # [bn, bk // block]
-    bn, bk = codes.shape
-    w = (codes.reshape(bn, bk // block, block) * scales[:, :, None]).reshape(bn, bk)
+    scales = scales_ref[0]  # [bn, bk // block]
+    w = codes * _expand_scales(scales, block, 0)
     w = w.astype(jnp.bfloat16)
     x = x_ref[:].astype(jnp.bfloat16)
     o_ref[:] += jax.lax.dot_general(
@@ -73,18 +92,28 @@ def bfp_matmul_pallas(
     # shrink tiles to fit small problems (tests); keep multiples of block
     bm = min(bm, max(8, m))
     bn = min(bn, n)
-    bk = min(bk, k_padded)
-    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(k_padded, bk))
+    # bk must divide K (per-tile scale layout) and be lane-aligned (128) —
+    # otherwise fall back to a single K step over the full dimension
+    if k_padded % 128 or k_padded < 128:
+        bk = k_padded
+    else:
+        bk = min(bk - bk % 128, k_padded)
+        while k_padded % bk:
+            bk -= 128
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k_padded // bk)
     kernel = functools.partial(
         _dequant_matmul_kernel, block=block, n_k=grid[2]
     )
+    # per-K-tile scale layout [n_k, N, bk // block]: Mosaic needs the block's
+    # last dim 128-divisible or equal to the array dim; this makes it equal
+    scales = scales.reshape(n, grid[2], bk // block).transpose(1, 0, 2)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
             pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
-            pl.BlockSpec((bn, bk // block), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, bn, bk // block), lambda i, j, k: (k, j, 0)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
@@ -92,19 +121,120 @@ def bfp_matmul_pallas(
     )(x, codes, scales)
 
 
-def bfp_matmul(x: jax.Array, packed: PackedBFP, use_pallas: bool | None = None,
+def _subbyte_kernel(x_ref, words_ref, scales_ref, o_ref, *, width: int,
+                    per_word: int, block: int):
+    """One packing tile of K per grid step: extract per_word contiguous
+    [bn, 128] K-slices from the uint32 word tile (shift+mask on the VPU,
+    column-strided layout => no cross-lane shuffle), dequantize with the
+    per-block scales, and accumulate slice dots on the MXU."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    words = words_ref[:]  # uint32 [bn, SLICE]
+    scales = scales_ref[0]  # f32 [bn, tile // block]
+    x = x_ref[:]  # [bm, tile]
+    mask = jnp.uint32(2**width - 1)
+    cmax = 2 ** (width - 1) - 1
+    spb = _SLICE // block  # scale columns per slice
+    acc = jnp.zeros_like(o_ref)
+    for j in range(per_word):
+        codes = ((words >> jnp.uint32(width * j)) & mask).astype(jnp.int32) - cmax
+        s = scales[:, j * spb : (j + 1) * spb]  # [bn, spb]
+        w = codes.astype(jnp.float32) * _expand_scales(s, block, width)
+        xs = x[:, j * _SLICE : (j + 1) * _SLICE].astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            xs,
+            w.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+def bfp_matmul_subbyte_pallas(
+    x: jax.Array,
+    packed: PackedBFPSub,
+    bm: int = 256,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [M, K] @ unpack(packed)[N, K]^T -> [M, N] (f32), bit-packed weights."""
+    m, k_dim = x.shape
+    words, scales = packed.words, packed.scales
+    n = words.shape[0]
+    tile, per_word, block = packed.tile, packed.per_word, packed.block_size
+    k_padded = (words.shape[1] // _SLICE) * tile
+    if k_padded != k_dim:
+        x = jnp.pad(x, ((0, 0), (0, k_padded - k_dim)))
+    nt = k_padded // tile
+    bm = min(bm, max(8, m))
+    bn = min(bn, n)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), nt)
+    kernel = functools.partial(
+        _subbyte_kernel, width=packed.width, per_word=per_word, block=block
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, tile), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, _SLICE), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, bn, tile // block), lambda i, j, k: (k, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=interpret,
+    )(x, words, scales)
+
+
+# Below this many rows the matmul is HBM-bound on the weight stream and the
+# fused in-kernel dequant wins; above it the op is MXU-bound and a single
+# unpack to bf16 + native XLA matmul is faster (the dequant is O(N*K), one
+# M-tile's worth of FLOPs — amortized to nothing at large M, while the fused
+# kernel would re-dequantize the weight tile for every M tile).
+_FUSED_M_MAX = 256
+
+
+def bfp_matmul(x: jax.Array, packed, use_pallas: bool | None = None,
                interpret: bool = False) -> jax.Array:
-    """Dispatch: Pallas on TPU, unpack+matmul elsewhere. x: [..., K]."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    """Dispatch: fused Pallas kernel for small-M (decode) on TPU, unpack +
+    native matmul for large-M (prefill) and non-TPU backends. x: [..., K]."""
     lead_shape = x.shape[:-1]
     k_dim = x.shape[-1]
     x2 = x.reshape(-1, k_dim)
-    if use_pallas or interpret:
-        out = bfp_matmul_pallas(x2, packed, interpret=interpret)
-    else:
-        w = unpack_block_fp(packed)
-        out = jax.lax.dot_general(
-            x2, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and x2.shape[0] <= _FUSED_M_MAX
         )
+    if use_pallas or interpret:
+        if isinstance(packed, PackedBFPSub):
+            out = bfp_matmul_subbyte_pallas(x2, packed, interpret=interpret)
+        else:
+            out = bfp_matmul_pallas(x2, packed, interpret=interpret)
+    else:
+        unpack = (
+            unpack_block_fp_subbyte
+            if isinstance(packed, PackedBFPSub)
+            else unpack_block_fp
+        )
+        if jax.default_backend() == "tpu":
+            # code*scale is exact in bf16 (<= 7 mantissa bits x power-of-2),
+            # as is the BFP-quantized activation -> full-speed MXU path
+            w = unpack(packed, jnp.bfloat16)
+            out = jax.lax.dot_general(
+                x2.astype(jnp.bfloat16),
+                w,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            w = unpack(packed)
+            out = jax.lax.dot_general(
+                x2, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     return out.reshape(*lead_shape, packed.out_features).astype(x.dtype)

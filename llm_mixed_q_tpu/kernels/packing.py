@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quantizers.exact import exact_exp2
+
 
 class PackedBFP(NamedTuple):
     """Packed BFP tensor. Registered as a pytree (codes/scales are leaves)."""
@@ -107,12 +109,13 @@ def pack_block_fp(
     pbm = jnp.where(is_zero, fill, pbm)
 
     exponent = jnp.clip(jnp.ceil(jnp.log2(pbm)), exponent_min, exponent_max)
-    scales = jnp.exp2(exponent - mantissa_bits).astype(jnp.float32)
+    # exact powers of two (XLA's exp2 drifts at large |e|, exact.py)
+    scales = exact_exp2(exponent - mantissa_bits).astype(jnp.float32)
 
     sign = jnp.sign(blocked + 1e-9)
     value = jnp.abs(blocked) + 1e-9
     mant_int = jnp.clip(
-        jnp.round(value / jnp.exp2(exponent)[:, :, None] * (2**mantissa_bits)),
+        jnp.round(value / exact_exp2(exponent)[:, :, None] * (2**mantissa_bits)),
         0,
         mantissa_max,
     )
@@ -130,5 +133,126 @@ def unpack_block_fp(p: PackedBFP, dtype=jnp.float32) -> jax.Array:
     return w.astype(dtype)
 
 
-def packed_nbytes(p: PackedBFP) -> int:
+def packed_nbytes(p) -> int:
+    if isinstance(p, PackedBFPSub):
+        return 4 * int(np.prod(p.words.shape)) + 4 * int(np.prod(p.scales.shape))
     return int(np.prod(p.codes.shape)) + 4 * int(np.prod(p.scales.shape))
+
+
+# --------------------------------------------------------------- sub-byte
+
+# Sub-byte bit-packed BFP: codes live ``per_word = 32 // width`` to a uint32
+# word (6-bit -> 6.4 bits/element, 4-bit -> 4.0). The reference only reports
+# such densities from its analytical cost model (quantized_layer_profiler.py);
+# here the bits are physically laid out in HBM and unpacked on the VPU inside
+# the fused dequant-matmul kernel.
+#
+# Layout: K is padded to packing tiles of T = per_word * 128 codes. Within a
+# tile, word g (g in [0, 128)) holds codes {j*128 + g : j < per_word}, i.e.
+# shift j extracts the CONTIGUOUS K-slice [j*128, (j+1)*128) of the tile.
+# This column-strided interleave is what makes the kernel lane-friendly: a
+# shift+mask over the word tile yields a [N, 128] slice ready for the MXU,
+# with no cross-lane shuffle.
+
+_SLICE = 128  # codes per extracted K-slice (lane width)
+
+
+class PackedBFPSub(NamedTuple):
+    """Bit-packed BFP tensor (sub-byte codes in uint32 words).
+
+    ``scales`` is laid out per packing tile, [n_tiles, out, tile // block],
+    so the kernel's scale block keeps the full trailing dim (Mosaic requires
+    the last block dim be 128-divisible OR equal to the array dim)."""
+
+    words: jax.Array  # uint32 [out, K_padded // per_word]
+    scales: jax.Array  # float32 [n_tiles, out, tile // block]
+    width: int
+    block_size: int
+    out_features: int
+    in_features: int  # un-padded
+
+    @property
+    def mantissa_bits(self) -> int:
+        return self.width - 1
+
+    @property
+    def per_word(self) -> int:
+        return 32 // self.width
+
+    @property
+    def tile(self) -> int:
+        return self.per_word * _SLICE
+
+
+jax.tree_util.register_pytree_node(
+    PackedBFPSub,
+    lambda p: (
+        (p.words, p.scales),
+        (p.width, p.block_size, p.out_features, p.in_features),
+    ),
+    lambda aux, leaves: PackedBFPSub(*leaves, *aux),
+)
+
+
+def pack_block_fp_subbyte(
+    w: jax.Array,
+    width: int,
+    exponent_width: int = 8,
+    exponent_bias=None,
+    block_size=16,
+) -> PackedBFPSub:
+    """Quantize + bit-pack a [out, in] weight (same grid as pack_block_fp)."""
+    assert 2 <= width <= 8, f"sub-byte packing needs width in [2,8], got {width}"
+    out_features, in_features = w.shape
+    bs = effective_block_len(block_size, in_features)
+    assert bs is not None and _SLICE % bs == 0, (
+        f"sub-byte packing needs a [1, bs] block with bs | {_SLICE}: {block_size}"
+    )
+
+    per_word = 32 // width
+    tile = per_word * _SLICE
+    pad = (-in_features) % tile
+    base = pack_block_fp(
+        jnp.pad(w, ((0, 0), (0, pad))) if pad else w,
+        width,
+        exponent_width,
+        exponent_bias,
+        [1, bs],
+    )
+    k_padded = base.codes.shape[1]
+    nt = k_padded // tile
+    cmax = 2 ** (width - 1) - 1
+    biased = (base.codes.astype(jnp.int32) + cmax).astype(jnp.uint32)
+    # [out, nt, per_word, SLICE]: word g of tile t = sum_j biased[t, j, g] << (w*j)
+    biased = biased.reshape(out_features, nt, per_word, _SLICE)
+    shifts = (width * jnp.arange(per_word, dtype=jnp.uint32))[None, None, :, None]
+    words = jnp.sum(biased << shifts, axis=2, dtype=jnp.uint32)
+    scales = base.scales.reshape(out_features, nt, tile // bs).transpose(1, 0, 2)
+    return PackedBFPSub(
+        words.reshape(out_features, nt * _SLICE),
+        scales,
+        width,
+        bs,
+        out_features,
+        in_features,
+    )
+
+
+def unpack_block_fp_subbyte(p: PackedBFPSub, dtype=jnp.float32) -> jax.Array:
+    """Reference dequant of the bit-packed format (CPU/fallback path)."""
+    out, nw = p.words.shape
+    per_word, width = p.per_word, p.width
+    nt = nw // _SLICE
+    words = p.words.reshape(out, nt, 1, _SLICE)
+    shifts = (width * jnp.arange(per_word, dtype=jnp.uint32))[None, None, :, None]
+    mask = jnp.uint32(2**width - 1)
+    cmax = 2 ** (width - 1) - 1
+    codes = ((words >> shifts) & mask).astype(jnp.int32) - cmax
+    codes = codes.reshape(out, nt * per_word * _SLICE)
+    nb = codes.shape[1] // p.block_size
+    scales = p.scales.transpose(1, 0, 2).reshape(out, nb)
+    w = (
+        codes.astype(jnp.float32).reshape(out, nb, p.block_size)
+        * scales[:, :, None]
+    ).reshape(out, -1)[:, : p.in_features]
+    return w.astype(dtype)

@@ -8,12 +8,40 @@ once here, activations per call).
 
 from __future__ import annotations
 
-from ...kernels.packing import effective_block_len, pack_block_fp
+from ...kernels.packing import (
+    _SLICE,
+    effective_block_len,
+    pack_block_fp,
+    pack_block_fp_subbyte,
+)
 from ...ops.linear import quantize_bias, quantize_weight
 from .prepare import _LLAMA_LINEARS
 
 
-def pack_llama_params(params: dict, config) -> dict:
+def _pack_weight(w, node_cfg, subbyte: bool):
+    """Pick the packed representation for one block_fp weight: bit-packed
+    uint32 words when the width is sub-byte and blocks divide the 128-lane
+    slice, int8 codes otherwise."""
+    width = node_cfg["weight_width"]
+    bs = effective_block_len(node_cfg["weight_block_size"], w.shape[1])
+    if subbyte and width < 8 and bs is not None and _SLICE % bs == 0:
+        return pack_block_fp_subbyte(
+            w,
+            width,
+            node_cfg["weight_exponent_width"],
+            node_cfg["weight_exponent_bias"],
+            node_cfg["weight_block_size"],
+        )
+    return pack_block_fp(
+        w,
+        width,
+        node_cfg["weight_exponent_width"],
+        node_cfg["weight_exponent_bias"],
+        node_cfg["weight_block_size"],
+    )
+
+
+def pack_llama_params(params: dict, config, subbyte: bool = True) -> dict:
     if config.quant_config is None:
         return params
     new_params = dict(params)
@@ -35,13 +63,7 @@ def pack_llama_params(params: dict, config) -> dict:
                     )
                     is not None
                 ):
-                    node["weight"] = pack_block_fp(
-                        w,
-                        node_cfg["weight_width"],
-                        node_cfg["weight_exponent_width"],
-                        node_cfg["weight_exponent_bias"],
-                        node_cfg["weight_block_size"],
-                    )
+                    node["weight"] = _pack_weight(w, node_cfg, subbyte)
                 else:
                     node["weight"] = quantize_weight(w, node_cfg)
                 if node.get("bias") is not None:

@@ -83,9 +83,9 @@ def quantized_linear(
     instead of the fake-quant path — activations are still quantized per the
     node's data_in config, exactly like the reference semantics.
     """
-    from ..kernels.packing import PackedBFP
+    from ..kernels.packing import PackedBFP, PackedBFPSub
 
-    if isinstance(w, PackedBFP):
+    if isinstance(w, (PackedBFP, PackedBFPSub)):
         from ..kernels.dequant_matmul import bfp_matmul
 
         xq = x

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .blocking import block_abs_max
+from .exact import exact_exp2
 from .ste import ste
 
 _ATOL = 1e-8
@@ -44,12 +45,13 @@ def _block_fp_qdq(
     value = jnp.abs(x) + 1e-9
     exponent = jnp.clip(jnp.ceil(jnp.log2(per_block_max)), exponent_min, exponent_max)
 
-    mantissa = value / 2.0**exponent
+    two_e = exact_exp2(exponent)  # exp2 must be exact (see exact.py)
+    mantissa = value / two_e
     shift = 2**mantissa_bits
     mantissa_integer = jnp.clip(jnp.round(mantissa * shift), 0, mantissa_integer_max)
     mantissa = mantissa_integer / shift
 
-    msfp = sign * 2.0**exponent * mantissa
+    msfp = sign * two_e * mantissa
     # zero-preserving STE trick (reference block_fp.py:92-94)
     is_close_to_0 = jnp.abs(x) <= _ATOL
     return jnp.where(is_close_to_0, x, msfp)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .exact import exact_exp2
 from .ste import ste
 
 
@@ -22,13 +23,13 @@ def _log_qdq(x, width: int, exponent_bias=None):
 
     exponent_max = 2**exponent_bits - 1 - exponent_bias
     exponent_min = -exponent_bias
-    min_pos = 2.0**exponent_min
+    min_pos = exact_exp2(exponent_min)
 
     sign = jnp.sign(x + min_pos * 0.1)
     value = jnp.abs(x) + min_pos * 0.1
 
     exponent = jnp.clip(jnp.round(jnp.log2(value)), exponent_min, exponent_max)
-    return sign * 2.0**exponent
+    return sign * exact_exp2(exponent)
 
 
 log_quantizer = ste(_log_qdq)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .exact import exact_exp2
 from .ste import ste
 
 # torch.isclose(x, 0) defaults: |x| <= atol + rtol*|0| = 1e-8
@@ -44,13 +45,14 @@ def _minifloat_denorm_qdq(x, width: int, exponent_width: int, exponent_bias=None
     value = jnp.abs(x)
     exponent = jnp.clip(jnp.ceil(jnp.log2(value + 1e-9)), exponent_min, exponent_max)
 
-    mantissa = value / 2.0**exponent
+    two_e = exact_exp2(exponent)
+    mantissa = value / two_e
     shift = 2**mantissa_bits
     shifted_mantissa = jnp.clip(jnp.round(mantissa * shift), 0, shifted_mantissa_max)
     mantissa = shifted_mantissa / shift
 
     is_close_to_0 = value <= _ATOL
-    return jnp.where(is_close_to_0, x, sign * 2.0**exponent * mantissa)
+    return jnp.where(is_close_to_0, x, sign * two_e * mantissa)
 
 
 def _minifloat_ieee_qdq(x, width: int, exponent_width: int, exponent_bias=None):
@@ -66,7 +68,8 @@ def _minifloat_ieee_qdq(x, width: int, exponent_width: int, exponent_bias=None):
     sign = jnp.sign(x + 1e-9)
     value = jnp.abs(x)
     exponent = jnp.clip(jnp.floor(jnp.log2(value + 1e-9)), exponent_min, exponent_max)
-    mantissa = value / 2.0**exponent
+    two_e = exact_exp2(exponent)
+    mantissa = value / two_e
 
     # subnormal iff clipped exponent hit -bias (isclose, reference
     # minifloat.py:183-185)
@@ -82,7 +85,7 @@ def _minifloat_ieee_qdq(x, width: int, exponent_width: int, exponent_bias=None):
     )
 
     is_close_to_0 = value <= _ATOL
-    return jnp.where(is_close_to_0, x, sign * 2.0**exponent * mantissa)
+    return jnp.where(is_close_to_0, x, sign * two_e * mantissa)
 
 
 minifloat_denorm_quantizer = ste(_minifloat_denorm_qdq)

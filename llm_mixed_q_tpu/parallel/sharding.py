@@ -72,6 +72,21 @@ def _leaf_spec(path, leaf, fsdp: bool) -> P:
         if col and ndim == 1:
             return P("model")
         return P(*([None] * ndim))
+    # sub-byte packed leaves: scales are rank-3 [n_tiles, out, cols]; words
+    # are uint32 [out, K/per_word]. K-splits must land on packing-tile
+    # boundaries, which a generic row split does not guarantee -> replicate
+    # row-parallel sub-byte nodes, shard column-parallel on out-features.
+    is_subbyte_words = (
+        ndim == 2 and is_weight_like and str(getattr(leaf, "dtype", "")) == "uint32"
+    )
+    if ndim == 3 and is_weight_like:
+        if col:
+            return P(None, "model", None)
+        return P(None, None, None)
+    if is_subbyte_words:
+        if col:
+            return P("model", data_axis)
+        return P(None, None)
     if ndim == 2 and is_weight_like:
         if row:
             # [out, in] sharded on in; packed scales [out, in/block] follow

@@ -12,10 +12,13 @@ import jax.numpy as jnp
 
 from llm_mixed_q_tpu.kernels import (
     PackedBFP,
+    PackedBFPSub,
     bfp_matmul,
     pack_block_fp,
+    pack_block_fp_subbyte,
     packed_nbytes,
     unpack_block_fp,
+    unpack_block_fp_subbyte,
 )
 from llm_mixed_q_tpu.ops.quantizers.block_fp import _block_fp_qdq
 
@@ -91,6 +94,69 @@ def test_pallas_kernel_matches_unpack_matmul(m, n, k, width):
     # bf16 operands are exact for quantized values; only f32 accumulation
     # order differs from the oracle
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------- sub-byte packed
+
+
+@pytest.mark.parametrize("width", [3, 4, 6])
+@pytest.mark.parametrize("k", [640, 1280, 700])  # 700: padding path
+def test_subbyte_pack_unpack_matches_int8_pack(width, k):
+    w = _w((16, k))
+    sub = pack_block_fp_subbyte(jnp.asarray(w), width, 8, None, [1, 16])
+    full = pack_block_fp(jnp.asarray(w), width, 8, None, [1, 16])
+    np.testing.assert_array_equal(
+        np.asarray(unpack_block_fp_subbyte(sub)),
+        np.asarray(unpack_block_fp(full))[:, :k],
+    )
+
+
+def test_subbyte_density():
+    w = _w((256, 5120))  # divisible by both the 6-bit (640) and 4-bit (1024) tiles
+    sub = pack_block_fp_subbyte(jnp.asarray(w), 6, 8, None, [1, 16])
+    bits_per_elem = packed_nbytes(sub) * 8 / w.size
+    assert bits_per_elem < 8.5  # 6.4 code bits + 2 scale bits
+    sub4 = pack_block_fp_subbyte(jnp.asarray(w), 4, 8, None, [1, 16])
+    assert packed_nbytes(sub4) * 8 / w.size < 6.1  # 4.0 + 2
+
+
+def test_subbyte_pytree():
+    w = _w((8, 640))
+    sub = pack_block_fp_subbyte(jnp.asarray(w), 6, 8, None, [1, 16])
+    mapped = jax.tree_util.tree_map(lambda x: x, sub)
+    assert isinstance(mapped, PackedBFPSub)
+    assert mapped.per_word == 5 and mapped.tile == 640
+
+
+@pytest.mark.parametrize("m,n,k", [(16, 32, 640), (8, 256, 1344)])
+@pytest.mark.parametrize("width", [4, 6])
+def test_subbyte_kernel_matches_unpack_matmul(m, n, k, width):
+    x_raw = RNG.standard_normal((m, k)).astype(np.float32)
+    x = np.asarray(
+        _block_fp_qdq(jnp.asarray(x_raw), 6, 8, None, [1, 16], skip_first_dim=True)
+    )
+    w = _w((n, k))
+    sub = pack_block_fp_subbyte(jnp.asarray(w), width, 8, None, [1, 16])
+    ref = x @ np.asarray(unpack_block_fp_subbyte(sub)).T
+    out = bfp_matmul(jnp.asarray(x), sub, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_subbyte_fallback_matches_kernel_path():
+    x_raw = RNG.standard_normal((2, 5, 640)).astype(np.float32)
+    # BFP-quantize x (as the real pipeline does) so its bf16 cast is exact
+    x = np.asarray(
+        _block_fp_qdq(
+            jnp.asarray(x_raw.reshape(10, 640)), 6, 8, None, [1, 16],
+            skip_first_dim=True,
+        )
+    ).reshape(2, 5, 640)
+    w = _w((48, 640))
+    sub = pack_block_fp_subbyte(jnp.asarray(w), 6, 8, None, [1, 16])
+    fb = bfp_matmul(jnp.asarray(x), sub, use_pallas=False)
+    kn = bfp_matmul(jnp.asarray(x), sub, use_pallas=True, interpret=True)
+    assert fb.shape == (2, 5, 48)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(kn), rtol=2e-3, atol=2e-3)
 
 
 def test_fallback_matches_kernel_path():

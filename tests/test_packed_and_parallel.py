@@ -59,11 +59,25 @@ def test_param_specs_cover_tree():
     down = specs["layers"][0]["mlp"]["down_proj"]["weight"]
     assert down == P(None, "model")
     # packed params produce specs for codes AND scales
-    packed = pack_llama_params(params, config)
+    packed = pack_llama_params(params, config, subbyte=False)
     pspecs = param_specs(packed)
     node = pspecs["layers"][0]["self_attn"]["q_proj"]["weight"]
     assert node.codes == P("model", None)
     assert node.scales == P("model", None)
+    # sub-byte packed: col-parallel shards out-features (words axis 0,
+    # scales axis 1); row-parallel replicates (K split must not break tiles)
+    packed_sub = pack_llama_params(params, config, subbyte=True)
+    sspecs = param_specs(packed_sub)
+    from llm_mixed_q_tpu.kernels import PackedBFPSub
+
+    q_node = packed_sub["layers"][0]["self_attn"]["q_proj"]["weight"]
+    if isinstance(q_node, PackedBFPSub):
+        snode = sspecs["layers"][0]["self_attn"]["q_proj"]["weight"]
+        assert snode.words == P("model", None)
+        assert snode.scales == P(None, "model", None)
+        onode = sspecs["layers"][0]["self_attn"]["o_proj"]["weight"]
+        assert onode.words == P(None, None)
+        assert onode.scales == P(None, None, None)
 
 
 def test_sharded_forward_8_virtual_devices():
