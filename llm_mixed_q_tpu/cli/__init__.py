@@ -17,8 +17,11 @@ from .profile_statistics import (
 )
 from .search_cli import (
     cli_conditional_search_quantisation_on_cls_glue,
+    cli_conditional_search_quantisation_on_prompting_cls_tasks,
     cli_extract_quant_config,
+    cli_extract_quant_config_and_prompting_eval,
     cli_search_quantisation_on_cls_glue,
+    cli_search_quantisation_on_prompting_cls_tasks,
     cli_transform_stat_profile_to_int_quant_config,
 )
 from .train_cli import ddp_train_runner, dp_train_runner, fsdp_train_runner

@@ -39,6 +39,9 @@ class LlamaQuantizedConfig:
     model_type: str = "llama"
     problem_type: str | None = None
     dtype: str = "float32"
+    # kv-chunked two-pass attention (ops/attention.py); None = materialize
+    # the full score matrix like the reference (modeling_llama.py:309-344)
+    attention_chunk: int | None = None
 
     def __post_init__(self):
         if self.num_key_value_heads is None:

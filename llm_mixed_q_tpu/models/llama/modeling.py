@@ -126,16 +126,26 @@ def attention(
     k = _repeat_kv(k, nh // nkv)
     v = _repeat_kv(v, nh // nkv)
 
-    attn_weights = quantized_matmul(
-        q, k.transpose(0, 1, 3, 2), qc("matmul_0")
-    ) / math.sqrt(hd)
-    if mask is not None:
-        attn_weights = jnp.maximum(attn_weights + mask, NEG_INF)
-    attn_weights = jax.nn.softmax(attn_weights.astype(jnp.float32), axis=-1).astype(
-        q.dtype
-    )
+    chunk = getattr(config, "attention_chunk", None)
+    if chunk:
+        # O(S*chunk)-memory two-pass quantized attention (ops/attention.py);
+        # exact reference semantics, enables long context
+        from ...ops.attention import chunked_quantized_attention
 
-    attn_output = quantized_matmul(attn_weights, v, qc("matmul_1"))
+        attn_output = chunked_quantized_attention(
+            q, k, v, mask, qc("matmul_0"), qc("matmul_1"),
+            sqrt_hd=math.sqrt(hd), chunk=chunk,
+        )
+    else:
+        attn_weights = quantized_matmul(
+            q, k.transpose(0, 1, 3, 2), qc("matmul_0")
+        ) / math.sqrt(hd)
+        if mask is not None:
+            attn_weights = jnp.maximum(attn_weights + mask, NEG_INF)
+        attn_weights = jax.nn.softmax(
+            attn_weights.astype(jnp.float32), axis=-1
+        ).astype(q.dtype)
+        attn_output = quantized_matmul(attn_weights, v, qc("matmul_1"))
     attn_output = attn_output.transpose(0, 2, 1, 3).reshape(b, q_len, nh * hd)
     attn_output = quantized_linear(
         attn_output,

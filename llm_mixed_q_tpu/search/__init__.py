@@ -8,5 +8,9 @@ from .engine import (
     get_sampler,
     non_dominated_sort,
 )
+from .prompting import (
+    SearchIntQuantisationForPromptingCLS,
+    SearchQuantisationForPromptingCLS,
+)
 from .samplers_model import MODEL_SAMPLER_MAP, get_model_sampler
 from .search import SearchBase, SearchQuantisationForClassification
