@@ -138,10 +138,15 @@ def main():
     prefill_fake = batch * seq / t_fake
 
     # decode throughput (the serving metric): packed fused kernel vs the
-    # reference-style fake-quant path on identical hardware
+    # reference's serving mode (is_ptq: weights quantized ONCE, stored and
+    # streamed as fp32 — reference linear.py:63-71) on identical hardware
+    from llm_mixed_q_tpu.models import get_ptq_preparer
+
+    ptq_params = jax.device_put(get_ptq_preparer("llama")(params, config))
+    jax.block_until_ready(ptq_params)
     dec_batch, dec_steps = (8, 64) if on_tpu else (2, 4)
     decode_fake = bench_decode(
-        config, params, True, batch=dec_batch, steps=dec_steps,
+        config, ptq_params, False, batch=dec_batch, steps=dec_steps,
         reps=4 if on_tpu else 1,
     )
     decode_packed = bench_decode(

@@ -57,10 +57,10 @@ def build_model(args, task: str):
     flat = load_flat_state_dict(args.model_name)
     params = get_params_loader(args.model_arch)(flat, config, task=task)
     if config.quant_config is not None:
-        if args.packed and args.model_arch == "llama":
-            from ..models.llama.pack import pack_llama_params
+        if args.packed:
+            from ..models import get_params_packer
 
-            params = pack_llama_params(params, config)
+            params = get_params_packer(args.model_arch)(params, config)
         else:
             params = get_ptq_preparer(args.model_arch)(params, config)
     fwd = make_forward(

@@ -112,6 +112,20 @@ def get_ptq_preparer(arch: str):
     return _get(PTQ_PREPARE_MAP, arch)
 
 
+def get_params_packer(arch: str):
+    """Packed-storage converter (bit-packed/int8 BFP weights + fused kernel
+    serving) — the physical-storage upgrade over the reference's fake-quant
+    is_ptq mode (reference linear.py:63-71)."""
+    from .bert.pack import pack_bert_params
+    from .llama.pack import pack_llama_params
+    from .opt.pack import pack_opt_params
+
+    return _get(
+        {"llama": pack_llama_params, "opt": pack_opt_params, "bert": pack_bert_params},
+        arch,
+    )
+
+
 def get_model_profiler(arch: str):
     return _get(PROFILER_MAP, arch)
 

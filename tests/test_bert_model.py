@@ -126,3 +126,17 @@ def test_quantized_matches_reference(hf_model, batch):
     np.testing.assert_allclose(
         np.asarray(out2["logits"]), np.asarray(out["logits"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_packed_bert_matches_fake_quant(hf_model, batch):
+    from llm_mixed_q_tpu.models.bert.pack import pack_bert_params
+
+    ids, mask = batch
+    config = BertQuantizedConfig(**TINY, quant_config=BFP6)
+    params = bert_params_from_flat(hf_model.state_dict(), config, task="cls")
+    fake = make_forward("bert", "cls", config, quantize_weights=True)
+    ref = np.asarray(fake(params, jnp.asarray(ids), jnp.asarray(mask))["logits"])
+    packed = pack_bert_params(params, config)
+    fwd = make_forward("bert", "cls", config, quantize_weights=False)
+    out = np.asarray(fwd(packed, jnp.asarray(ids), jnp.asarray(mask))["logits"])
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)

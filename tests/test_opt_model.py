@@ -127,6 +127,24 @@ def test_quantized_matches_reference(hf_model, batch):
     np.testing.assert_allclose(np.asarray(out2["logits"]), ours, rtol=1e-5, atol=1e-5)
 
 
+def test_packed_opt_matches_fake_quant(hf_model, batch):
+    from llm_mixed_q_tpu.models.opt.pack import pack_opt_params
+
+    input_ids, attention_mask = batch
+    config = OPTQuantizedConfig(**TINY, quant_config=BFP6)
+    params = opt_params_from_flat(hf_model.state_dict(), config, task="lm")
+    fake = make_forward("opt", "lm", config, quantize_weights=True)
+    ref = np.asarray(
+        fake(params, jnp.asarray(input_ids), jnp.asarray(attention_mask))["logits"]
+    )
+    packed = pack_opt_params(params, config)
+    fwd = make_forward("opt", "lm", config, quantize_weights=False)
+    out = np.asarray(
+        fwd(packed, jnp.asarray(input_ids), jnp.asarray(attention_mask))["logits"]
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
+
+
 def test_sequence_classification_runs(hf_model):
     config = OPTQuantizedConfig(**TINY, quant_config=BFP6)
     params = opt_params_from_flat(hf_model.state_dict(), config, task="cls")
