@@ -6,6 +6,8 @@ from .dequant_matmul import (
 from .packing import (
     PackedBFP,
     PackedBFPSub,
+    bfp_decode_lastdim,
+    bfp_encode_lastdim,
     effective_block_len,
     pack_block_fp,
     pack_block_fp_subbyte,

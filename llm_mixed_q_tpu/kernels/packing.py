@@ -139,6 +139,72 @@ def packed_nbytes(p) -> int:
     return int(np.prod(p.codes.shape)) + 4 * int(np.prod(p.scales.shape))
 
 
+# ------------------------------------------------------- last-axis encode
+
+def bfp_encode_lastdim(
+    x: jax.Array,
+    width: int,
+    exponent_width: int = 8,
+    exponent_bias=None,
+    block_size: int = 16,
+):
+    """Encode BFP along the LAST axis of an arbitrary-rank tensor.
+
+    Returns ``(codes int8 x.shape, scales f32 x.shape[:-1] + (d // bs,))``
+    with ``codes * scales`` (block-broadcast) == the fake-quant value of
+    ``_block_fp_qdq`` with ``[1, bs]`` blocks. Requires ``d % bs == 0``
+    (true for every head_dim/block pair in the shipped configs). Elements
+    with |x| <= 1e-8 store code 0 (the packed format cannot pass off-grid
+    values through like the reference's zero-preserving trick,
+    block_fp.py:92-94 — same documented deviation as ``pack_block_fp``).
+
+    This is the KV-cache storage primitive: K/V codes live in HBM at
+    1 byte/element + 4/bs bytes of scale instead of 4 (3.2x less decode
+    cache traffic at bs=16).
+    """
+    d = x.shape[-1]
+    assert d % block_size == 0, (d, block_size)
+    if exponent_bias in (None, "none", "None"):
+        exponent_bias = 2 ** (exponent_width - 1) - 1
+    exponent_max = 2**exponent_width - 1 - exponent_bias
+    exponent_min = -exponent_bias
+    mantissa_bits = width - 1
+    mantissa_max = 2**mantissa_bits - 1
+
+    nb = d // block_size
+    blocked = x.reshape(x.shape[:-1] + (nb, block_size))
+    pbm = jnp.max(jnp.abs(blocked), axis=-1)
+    is_zero = pbm == 0
+    nonzero_min = jnp.min(jnp.where(is_zero, jnp.inf, pbm))
+    fill = jnp.where(jnp.isinf(nonzero_min), jnp.ones((), pbm.dtype), nonzero_min)
+    pbm = jnp.where(is_zero, fill, pbm)
+
+    exponent = jnp.clip(jnp.ceil(jnp.log2(pbm)), exponent_min, exponent_max)
+    scales = exact_exp2(exponent - mantissa_bits).astype(jnp.float32)
+
+    sign = jnp.sign(blocked + 1e-9)
+    value = jnp.abs(blocked) + 1e-9
+    mant_int = jnp.clip(
+        jnp.round(value / exact_exp2(exponent)[..., None] * (2**mantissa_bits)),
+        0,
+        mantissa_max,
+    )
+    codes = jnp.where(jnp.abs(blocked) <= 1e-8, 0.0, sign * mant_int)
+    return codes.astype(jnp.int8).reshape(x.shape), scales
+
+
+def bfp_decode_lastdim(codes: jax.Array, scales: jax.Array, block_size: int,
+                       dtype=jnp.float32) -> jax.Array:
+    """Inverse of ``bfp_encode_lastdim``: codes * block-broadcast scales."""
+    d = codes.shape[-1]
+    nb = d // block_size
+    out = (
+        codes.astype(jnp.float32).reshape(codes.shape[:-1] + (nb, block_size))
+        * scales[..., None]
+    )
+    return out.reshape(codes.shape).astype(dtype)
+
+
 # --------------------------------------------------------------- sub-byte
 
 # Sub-byte bit-packed BFP: codes live ``per_word = 32 // width`` to a uint32
