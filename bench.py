@@ -1,173 +1,415 @@
 """Benchmark: quantized-Llama decode/prefill throughput on the local chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Emits cumulative JSON result lines (one per completed stage, flushed); the
+LAST line is the most complete: {"metric", "value", "unit", "vs_baseline",
+"extra": {...}}. Stages are ordered by value-per-second so a driver timeout
+still leaves real data:
 
-Primary metric (BASELINE.json): tokens/sec/chip at Llama W6A6 BFP. One real
-TPU v5e chip is available; the model is sized to fit its HBM with fp32
-residual + packed 6-bit weights (a ~1.1B-param Llama shape; the 7B scale
-point needs the multi-chip mesh the driver dry-runs separately).
+  1. kernel    — fused dequant-matmul microbench at decode shapes, with an
+                 HBM-roofline utilisation number (achieved GB/s on the
+                 weight stream vs chip peak).
+  2. decode1b  — ~1B-param Llama decode, packed (sub-byte codes + packed KV
+                 cache + fused Pallas kernels) vs the reference's serving
+                 model (is_ptq: weights fake-quantized once, stored/streamed
+                 fp32 — reference linear.py:63-71) on identical hardware.
+                 This head-to-head is `vs_baseline`.
+  3. decode7b  — Llama-7B W6A6 packed decode tokens/s/chip (BASELINE.json's
+                 primary metric). 7B fp32 does not fit one chip, so there is
+                 no 7B fake-quant baseline; vs_baseline stays the 1B ratio.
+  4. prefill1b — packed vs fake-quant full-forward throughput.
 
-vs_baseline: ratio of the packed fused-kernel path to the reference-style
-fake-quant (quantize-dequantize every forward) path measured on the SAME
-hardware — i.e. the speedup this framework's packed storage + fused Pallas
-dequant-matmul delivers over what the reference simulates.
+Round-1 post-mortem (VERDICT.md Weak #1) fixes baked in: `params` is a jit
+ARGUMENT everywhere (nothing big is captured as a constant — enforced via
+JAX_CAPTURED_CONSTANTS_WARN_BYTES), and results stream out incrementally.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_CAPTURED_CONSTANTS_WARN_BYTES", str(100 * 2**20))
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+START = time.perf_counter()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+RESULT = {
+    "metric": "decode_tokens_per_sec_per_chip_w6a6_bfp",
+    "value": None,
+    "unit": "tokens/s",
+    "vs_baseline": None,
+    "extra": {},
+}
+
+# (bf16 peak TFLOP/s, HBM peak GB/s) by device kind substring
+_PEAKS = {
+    "v5e": (197.0, 819.0),
+    "v5 lite": (197.0, 819.0),
+    "v5litepod": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+    "v6e": (918.0, 1640.0),
+    "trillium": (918.0, 1640.0),
+}
 
 
-def build(hidden=2048, inter=5632, layers=8, heads=16, vocab=32000, seq=1024,
-          batch=4):
-    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
-    from llm_mixed_q_tpu.models.llama import LlamaQuantizedConfig
-    from __graft_entry__ import BFP6
+def chip_peaks():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return kind, peaks
+    return kind, (197.0, 819.0)  # assume v5e-class if unknown
 
-    config = LlamaQuantizedConfig(
-        vocab_size=vocab,
-        hidden_size=hidden,
-        intermediate_size=inter,
-        num_hidden_layers=layers,
-        num_attention_heads=heads,
-        max_position_embeddings=max(seq, 2048),
-        quant_config=BFP6,
+
+def elapsed():
+    return time.perf_counter() - START
+
+
+def remaining():
+    return BUDGET - elapsed()
+
+
+def emit(stage):
+    RESULT["extra"]["stage"] = stage
+    RESULT["extra"]["elapsed_s"] = round(elapsed(), 1)
+    print(json.dumps(RESULT), flush=True)
+
+
+def log(msg):
+    print(f"[bench +{elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------- stage 1
+
+
+def stage_kernel(on_tpu):
+    """Fused dequant-matmul kernel microbench at the decode shape (M=8,
+    N=K=4096 — a 7B q/k/v/o projection). Chains ITERS dependent calls in one
+    jitted scan (tanh feedback defeats dedup; one scalar fetch at the end),
+    so tunnel RTT is paid once, not per call."""
+    from llm_mixed_q_tpu.kernels.dequant_matmul import bfp_matmul
+    from llm_mixed_q_tpu.kernels.packing import (
+        pack_block_fp,
+        pack_block_fp_subbyte,
+        packed_nbytes,
     )
-    params = init_llama_params(config, task="lm", seed=0)
-    # commit params to the device ONCE — host-side leaves would otherwise be
-    # re-transferred on every call (catastrophic through a tunneled chip)
-    params = jax.device_put(params)
-    jax.block_until_ready(params)
+
+    n = k = 4096
+    m = 8
+    iters = 50 if on_tpu else 2
     rng = np.random.default_rng(0)
-    # several DISTINCT device-staged batches: identical repeated calls can be
-    # deduped/cached by the runtime, which falsifies timing
-    batches = []
-    for i in range(4):
-        ids = jnp.asarray(
-            rng.integers(0, vocab, size=(batch, seq)), dtype=jnp.int32
-        )
-        batches.append((jax.device_put(ids), jnp.ones_like(ids)))
-    jax.block_until_ready(batches)
-    return config, params, batches
+    w = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+
+    def chain(packed_or_w, fn):
+        def body(x, _):
+            y = fn(x, packed_or_w)
+            return jnp.tanh(y[:, :k]), y.sum()
+
+        @jax.jit
+        def run(arg, x0):
+            _, outs = lax.scan(
+                lambda x, _: body(x, _), x0, None, length=iters
+            )
+            return outs.sum()
+
+        float(run(packed_or_w, x0))  # compile + warmup
+        t0 = time.perf_counter()
+        float(run(packed_or_w, x0))
+        return (time.perf_counter() - t0) / iters
+
+    kind, (tflops_peak, gbs_peak) = chip_peaks()
+    out = {"device_kind": kind, "hbm_peak_gbs": gbs_peak, "shape": [m, n, k]}
+
+    sub = pack_block_fp_subbyte(w, 6, 8, 127, [1, 16])
+    t_sub = chain(sub, lambda x, p: bfp_matmul(x, p, use_pallas=on_tpu,
+                                               interpret=not on_tpu))
+    sub_bytes = packed_nbytes(sub)
+    out["subbyte_w6_us"] = round(t_sub * 1e6, 2)
+    out["subbyte_w6_weight_gbs"] = round(sub_bytes / t_sub / 1e9, 1)
+    out["subbyte_w6_hbm_util"] = round(sub_bytes / t_sub / 1e9 / gbs_peak, 3)
+
+    if on_tpu:
+        p8 = pack_block_fp(w, 6, 8, 127, [1, 16])
+        t_8 = chain(p8, lambda x, p: bfp_matmul(x, p, use_pallas=True))
+        b8 = packed_nbytes(p8)
+        out["int8_us"] = round(t_8 * 1e6, 2)
+        out["int8_weight_gbs"] = round(b8 / t_8 / 1e9, 1)
+        out["int8_hbm_util"] = round(b8 / t_8 / 1e9 / gbs_peak, 3)
+
+        # fp32 weight-streaming baseline: what the reference's is_ptq serve
+        # mode moves per decode matmul
+        def f32mm(x, w):
+            return jax.lax.dot_general(
+                x, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        t_f32 = chain(w, f32mm)
+        out["fp32_us"] = round(t_f32 * 1e6, 2)
+        out["fp32_weight_gbs"] = round(4 * n * k / t_f32 / 1e9, 1)
+        out["kernel_speedup_vs_fp32_stream"] = round(t_f32 / t_sub, 2)
+
+    RESULT["extra"]["kernel"] = out
+    RESULT["extra"]["hbm_bw_util"] = out["subbyte_w6_hbm_util"]
+    log(f"kernel stage: {out}")
 
 
-def bench_fn(fn, params, batches, iters=12, warmup=3):
-    """fn must return a SCALAR (e.g. logits.sum()): fetching it each
-    iteration forces real remote execution — block_until_ready alone does
-    not through a tunneled device, and repeated identical calls can be
-    deduped, both of which falsify timing."""
-    for i in range(warmup):
-        ids, mask = batches[i % len(batches)]
-        float(fn(params, ids, mask))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        ids, mask = batches[i % len(batches)]
-        float(fn(params, ids, mask))
-    return (time.perf_counter() - t0) / iters
+# --------------------------------------------------------------- decode
 
 
-def bench_decode(config, params, quantize_weights, batch=8, steps=64,
-                 max_len=256, reps=4):
-    """Decode throughput: ``steps`` incremental tokens chained in one
-    lax.scan (single jitted program, no per-step dispatch), timed by fetching
-    a scalar per rep. This is the HBM-bound regime where packed sub-byte
-    weights pay off."""
-    from jax import lax
+def make_decode_run(config, quantize_weights, steps):
+    from llm_mixed_q_tpu.models.llama.serving import decode_step
 
-    from llm_mixed_q_tpu.models.llama.serving import decode_step, init_kv_cache
+    def run(params, tok0, cache):
+        def body(carry, pos):
+            tok, c = carry
+            logits, c = decode_step(
+                params, tok, c, pos, config, quantize_weights
+            )
+            nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+            return (nxt, c), logits.max()
 
-    cache = init_kv_cache(config, batch, max_len)
-
-    def body(carry, pos):
-        tok, cache = carry
-        logits, cache = decode_step(
-            params, tok, cache, pos, config, quantize_weights
-        )
-        nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
-        return (nxt, cache), logits.max()
-
-    @jax.jit
-    def run(tok0, cache):
         (_, _), outs = lax.scan(
             body, (tok0, cache), jnp.arange(steps, dtype=jnp.int32)
         )
         return outs.sum()
 
+    return jax.jit(run)
+
+
+def bench_decode(run, params, cache, batch, steps, reps):
+    """tokens/s: `steps` chained decode steps in one jitted scan; rep 0 is
+    compile+warmup. params/cache are jit ARGUMENTS (nothing captured)."""
     times = []
     for r in range(reps + 1):
-        tok0 = jnp.full((batch, 1), r + 1, dtype=jnp.int32)  # distinct inputs
+        tok0 = jnp.full((batch, 1), r + 1, dtype=jnp.int32)
         t0 = time.perf_counter()
-        float(run(tok0, cache))
-        if r > 0:  # first rep is compile+warmup
+        float(run(params, tok0, cache))
+        if r > 0:
             times.append(time.perf_counter() - t0)
     return batch * steps / (sum(times) / len(times))
 
 
-def main():
-    on_tpu = jax.default_backend() != "cpu"
-    if on_tpu:
-        hidden, inter, layers, seq, batch = 2048, 5632, 8, 1024, 4
-    else:  # CPU smoke fallback
-        hidden, inter, layers, seq, batch = 256, 704, 2, 128, 2
+def llama_cfg(hidden, inter, layers, vocab, quant):
+    from llm_mixed_q_tpu.models.llama import LlamaQuantizedConfig
 
-    config, params, batches = build(hidden, inter, layers, hidden // 128,
-                                    32000 if on_tpu else 1024, seq, batch)
+    return LlamaQuantizedConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        intermediate_size=inter,
+        num_hidden_layers=layers,
+        num_attention_heads=hidden // 128,
+        max_position_embeddings=2048,
+        quant_config=quant,
+    )
+
+
+def pack_host(params, config):
+    """Pack on the HOST (native C++ engine; JAX-CPU fallback) so only the
+    packed buffers (~1/5 the bytes) cross the device tunnel."""
+    from llm_mixed_q_tpu.models.llama.pack import pack_llama_params_host
+
+    return pack_llama_params_host(params, config)
+
+
+def stage_decode_1b(on_tpu):
+    from __graft_entry__ import BFP6
+    from llm_mixed_q_tpu.models import get_ptq_preparer
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama.serving import (
+        init_kv_cache,
+        init_packed_kv_cache,
+        kv_cache_pack_spec,
+    )
+
+    if on_tpu:
+        hidden, inter, layers, vocab = 2048, 5632, 16, 32000
+        batch, steps, reps, max_len = 8, 32, 4, 256
+    else:
+        hidden, inter, layers, vocab = 256, 704, 2, 1024
+        batch, steps, reps, max_len = 2, 4, 1, 32
+
+    config = llama_cfg(hidden, inter, layers, vocab, BFP6)
+    params = init_llama_params(config, task="lm", seed=0)
+
+    # packed path: sub-byte codes + scales in HBM, packed KV cache
+    packed_params = jax.device_put(pack_host(params, config))
+    jax.block_until_ready(packed_params)
+    spec = kv_cache_pack_spec(config)
+    pcache = init_packed_kv_cache(config, batch, max_len, spec)
+    run_p = make_decode_run(config, False, steps)
+    dec_packed = bench_decode(run_p, packed_params, pcache, batch, steps, reps)
+    RESULT["extra"]["decode_1b_tok_s_packed"] = round(dec_packed, 1)
+    RESULT["value"] = round(dec_packed, 1)
+    RESULT["metric"] = "decode_tokens_per_sec_per_chip_w6a6_bfp_1b"
+    emit("decode1b_packed")
+    log(f"1B packed decode: {dec_packed:.1f} tok/s")
+
+    # reference serving model: is_ptq weights (fp32 stream), f32 fake-quant KV
+    ptq_params = jax.device_put(get_ptq_preparer("llama")(params, config))
+    jax.block_until_ready(ptq_params)
+    fcache = init_kv_cache(config, batch, max_len)
+    run_f = make_decode_run(config, False, steps)
+    dec_fake = bench_decode(run_f, ptq_params, fcache, batch, steps, reps)
+    del ptq_params
+    RESULT["extra"]["decode_1b_tok_s_fake_quant"] = round(dec_fake, 1)
+    RESULT["vs_baseline"] = round(dec_packed / dec_fake, 3)
+    emit("decode1b")
+    log(f"1B fake decode: {dec_fake:.1f} tok/s; speedup {dec_packed/dec_fake:.2f}x")
+    return config, params, packed_params
+
+
+def stage_decode_7b(on_tpu):
+    from __graft_entry__ import BFP6
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama.serving import (
+        init_packed_kv_cache,
+        kv_cache_pack_spec,
+    )
+
+    if on_tpu:
+        hidden, inter, layers, vocab = 4096, 11008, 32, 32000
+        batch, steps, reps, max_len = 8, 32, 3, 256
+    else:
+        hidden, inter, layers, vocab = 256, 704, 3, 1024
+        batch, steps, reps, max_len = 2, 4, 1, 32
+
+    config = llama_cfg(hidden, inter, layers, vocab, BFP6)
+    log("init 7B params on host…")
+    params = init_llama_params(config, task="lm", seed=0)
+    log("packing 7B on host…")
+    packed = pack_host(params, config)
+    del params
+    log("transferring packed 7B to device…")
+    packed = jax.device_put(packed)
+    jax.block_until_ready(packed)
+
+    spec = kv_cache_pack_spec(config)
+    cache = init_packed_kv_cache(config, batch, max_len, spec)
+    run = make_decode_run(config, False, steps)
+    log("compiling 7B decode…")
+    tok_s = bench_decode(run, packed, cache, batch, steps, reps)
+
+    # HBM roofline for this decode: bytes streamed per step ≈ packed linear
+    # weights + fp32 lm_head + packed KV read/write (small at ≤max_len)
+    from llm_mixed_q_tpu.kernels.packing import (
+        PackedBFP,
+        PackedBFPSub,
+        packed_nbytes,
+    )
+
+    wbytes = 0
+    for leaf in jax.tree.leaves(
+        packed, is_leaf=lambda x: isinstance(x, (PackedBFP, PackedBFPSub))
+    ):
+        if isinstance(leaf, (PackedBFP, PackedBFPSub)):
+            wbytes += packed_nbytes(leaf)
+    lm_head = 4 * vocab * hidden  # fp32 logits matmul stream
+    kv = 2 * layers * batch * (hidden // 128) * 0  # position-dependent; ≲60MB
+    step_bytes = wbytes + lm_head + kv
+    kind, (_, gbs_peak) = chip_peaks()
+    t_step = batch / tok_s
+    ach = step_bytes / t_step / 1e9
+    RESULT["metric"] = "decode_tokens_per_sec_per_chip_llama7b_w6a6_bfp"
+    RESULT["value"] = round(tok_s, 1)
+    RESULT["extra"]["decode_7b_tok_s_packed"] = round(tok_s, 1)
+    RESULT["extra"]["decode_7b_step_weight_bytes"] = step_bytes
+    RESULT["extra"]["decode_7b_hbm_gbs"] = round(ach, 1)
+    RESULT["extra"]["decode_7b_hbm_util"] = round(ach / gbs_peak, 3)
+    RESULT["extra"]["decode_7b_tok_s_roofline"] = round(
+        batch / (step_bytes / (gbs_peak * 1e9)), 1
+    )
+    emit("decode7b")
+    log(f"7B packed decode: {tok_s:.1f} tok/s ({ach:.0f} GB/s, "
+        f"{ach/gbs_peak:.0%} of HBM peak)")
+
+
+def stage_prefill_1b(config, params, packed_params, on_tpu):
+    from llm_mixed_q_tpu.models import get_ptq_preparer
     from llm_mixed_q_tpu.models.llama import llama_for_causal_lm
-    from llm_mixed_q_tpu.models.llama.pack import pack_llama_params
+
+    batch, seq = (4, 1024) if on_tpu else (2, 128)
+    iters = 8 if on_tpu else 1
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(4):
+        ids = jnp.asarray(
+            rng.integers(0, config.vocab_size, size=(batch, seq)), jnp.int32
+        )
+        batches.append((jax.device_put(ids), jnp.ones_like(ids)))
+    jax.block_until_ready(batches)
 
     def fwd(p, i, m, qw):
         return llama_for_causal_lm(
             p, i, m, config=config, quantize_weights=qw
         )["logits"].sum()
 
-    # reference-style fake-quant path: qdq on weights+acts every forward
-    fake = jax.jit(lambda p, i, m: fwd(p, i, m, True))
-    t_fake = bench_fn(fake, params, batches)
+    def tim(fn, p):
+        for i in range(2):
+            ids, mask = batches[i % 4]
+            float(fn(p, ids, mask))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            ids, mask = batches[i % 4]
+            float(fn(p, ids, mask))
+        return (time.perf_counter() - t0) / iters
 
-    # packed path: bit-packed codes + scales in HBM, fused Pallas kernel
-    packed_params = jax.device_put(pack_llama_params(params, config))
-    jax.block_until_ready(packed_params)
     packed = jax.jit(lambda p, i, m: fwd(p, i, m, False))
-    t_packed = bench_fn(packed, packed_params, batches)
+    t_packed = tim(packed, packed_params)
+    RESULT["extra"]["prefill_1b_tok_s_packed"] = round(batch * seq / t_packed, 1)
+    emit("prefill1b_packed")
 
-    prefill_packed = batch * seq / t_packed
-    prefill_fake = batch * seq / t_fake
+    # reference execution model for a one-shot eval: qdq weights+acts EVERY
+    # forward (QAT/eval mode, reference linear.py:72-76)
+    dparams = jax.device_put(params)
+    jax.block_until_ready(dparams)
+    fake = jax.jit(lambda p, i, m: fwd(p, i, m, True))
+    t_fake = tim(fake, dparams)
+    RESULT["extra"]["prefill_1b_tok_s_fake_quant"] = round(batch * seq / t_fake, 1)
+    RESULT["extra"]["prefill_speedup"] = round(t_fake / t_packed, 3)
+    emit("prefill1b")
+    log(f"prefill packed {batch*seq/t_packed:.0f} vs fake {batch*seq/t_fake:.0f} tok/s")
 
-    # decode throughput (the serving metric): packed fused kernel vs the
-    # reference's serving mode (is_ptq: weights quantized ONCE, stored and
-    # streamed as fp32 — reference linear.py:63-71) on identical hardware
-    from llm_mixed_q_tpu.models import get_ptq_preparer
 
-    ptq_params = jax.device_put(get_ptq_preparer("llama")(params, config))
-    jax.block_until_ready(ptq_params)
-    dec_batch, dec_steps = (8, 64) if on_tpu else (2, 4)
-    decode_fake = bench_decode(
-        config, ptq_params, False, batch=dec_batch, steps=dec_steps,
-        reps=4 if on_tpu else 1,
-    )
-    decode_packed = bench_decode(
-        config, packed_params, False, batch=dec_batch, steps=dec_steps,
-        reps=4 if on_tpu else 1,
-    )
+def main():
+    on_tpu = jax.default_backend() != "cpu"
+    kind, (tflops, gbs) = chip_peaks()
+    RESULT["extra"]["device"] = kind
+    log(f"backend={jax.default_backend()} device={kind} budget={BUDGET}s")
 
-    result = {
-        "metric": "decode_tokens_per_sec_per_chip_w6a6_bfp",
-        "value": round(decode_packed, 1),
-        "unit": "tokens/s",
-        # speedup of packed bit-packed storage + fused Pallas dequant-matmul
-        # over the reference's fake-quant execution model, same hardware
-        "vs_baseline": round(decode_packed / decode_fake, 3),
-        "extra": {
-            "decode_tok_s_fake_quant": round(decode_fake, 1),
-            "prefill_tok_s_packed": round(prefill_packed, 1),
-            "prefill_tok_s_fake_quant": round(prefill_fake, 1),
-        },
-    }
-    print(json.dumps(result))
+    stage_kernel(on_tpu)
+    emit("kernel")
+
+    config, params, packed_params = stage_decode_1b(on_tpu)
+
+    if remaining() > 420 or not on_tpu:
+        try:
+            stage_decode_7b(on_tpu)
+        except Exception as e:  # OOM etc. — keep the 1B result
+            log(f"7B stage failed: {e!r}")
+            RESULT["extra"]["decode_7b_error"] = repr(e)[:200]
+            emit("decode7b_failed")
+    else:
+        log("skipping 7B stage (budget)")
+
+    if remaining() > 180 or not on_tpu:
+        try:
+            stage_prefill_1b(config, params, packed_params, on_tpu)
+        except Exception as e:
+            log(f"prefill stage failed: {e!r}")
+            RESULT["extra"]["prefill_error"] = repr(e)[:200]
+            emit("prefill_failed")
+    else:
+        log("skipping prefill stage (budget)")
+
+    emit("done")
 
 
 if __name__ == "__main__":

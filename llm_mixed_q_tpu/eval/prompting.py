@@ -1,14 +1,24 @@
-"""Zero-shot prompting evaluation (lm-eval-harness style).
+"""Prompting evaluation (lm-eval-harness protocol, native JAX).
 
 Reference: src/llm_mixed_q/eval/eval_prompting/ — the reference vendors a
 fork of lm-evaluation-harness and registers a QuantizedCausalLMWrapper
-(model_wrapper.py:16-176) whose core primitive is ``loglikelihood(context,
-continuation)``. That primitive and the classification-task protocol
-(score each answer choice, pick argmax, compare to gold) are implemented
-natively here; task templates follow lm-eval's zero-shot prompts.
+(model_wrapper.py:16-176) whose core primitives are
+``loglikelihood(context, continuation)`` and ``greedy_until``. Both are
+implemented natively here, driving the jitted JAX forward; the task layer
+is a REGISTRY (``TASK_TEMPLATES`` + ``register_task``) covering the harness
+features the paper's evals use (evaluate_prompting.py:16-59):
 
-``eval_prompting_tasks`` mirrors the reference entry point
-(evaluate_prompting.py:16-59): mean accuracy across tasks.
+- multiple-choice tasks with static or PER-EXAMPLE choices (arc/piqa style)
+- winogrande-style tasks (context varies, continuation fixed)
+- generation tasks (greedy decode until stop, exact match)
+- k-shot prompting (``num_fewshot``, exemplars joined lm-eval style)
+- ``batch_size="auto"`` (largest power of two that fits, halving on OOM —
+  model_wrapper.py:57-63)
+- acc and length-normalized acc_norm metrics
+
+Task templates follow lm-eval's zero-shot prompts. Datasets resolve through
+HF ``load_dataset`` when available; every function also accepts explicit
+``examples`` so offline/synthetic corpora work identically (tests use this).
 """
 
 from __future__ import annotations
@@ -17,34 +27,126 @@ import numpy as np
 
 import jax.numpy as jnp
 
-# lm-eval zero-shot templates for the classification tasks the paper uses
-# (sst = sst2 sentiment; plus common 0-shot cls tasks)
+
+def _choices_fn(choices):
+    return choices if callable(choices) else (lambda ex: choices)
+
+
+# ----------------------------------------------------------------- registry
+
+# Each template:
+#   context: ex -> str                      prompt up to the answer slot
+#   choices: list[str] | ex -> list[str]    answer continuations
+#   gold:    ex -> int                      index into choices
+#   dataset: (repo, subset, split)          HF eval split
+#   fewshot_dataset: (repo, subset, split)  split exemplars are drawn from
+#   style:   "mc" (default) | "ctx_choice" | "greedy"
+#     mc         score ctx + choice_i
+#     ctx_choice score context_i + fixed continuation (winogrande)
+#     greedy     generate until stop, exact-match against gold text
 TASK_TEMPLATES = {
     "sst": {
         "context": lambda ex: f"{ex['sentence'].strip()}\nQuestion: Is this sentence positive or negative?\nAnswer:",
         "choices": [" negative", " positive"],
         "gold": lambda ex: int(ex["label"]),
         "dataset": ("glue", "sst2", "validation"),
+        "fewshot_dataset": ("glue", "sst2", "train"),
     },
     "rte": {
         "context": lambda ex: f"{ex['sentence1']}\nQuestion: {ex['sentence2']} True or False?\nAnswer:",
         "choices": [" True", " False"],
         "gold": lambda ex: int(ex["label"]),
         "dataset": ("glue", "rte", "validation"),
+        "fewshot_dataset": ("glue", "rte", "train"),
     },
     "cola": {
         "context": lambda ex: f"{ex['sentence']}\nQuestion: Does this sentence make sense?\nAnswer:",
         "choices": [" no", " yes"],
         "gold": lambda ex: int(ex["label"]),
         "dataset": ("glue", "cola", "validation"),
+        "fewshot_dataset": ("glue", "cola", "train"),
+    },
+    "boolq": {
+        "context": lambda ex: f"{ex['passage']}\nQuestion: {ex['question']}?\nAnswer:",
+        "choices": [" no", " yes"],
+        "gold": lambda ex: int(ex["label"] if isinstance(ex["label"], (int, bool)) else ex["answer"]),
+        "dataset": ("super_glue", "boolq", "validation"),
+        "fewshot_dataset": ("super_glue", "boolq", "train"),
+    },
+    "piqa": {
+        "context": lambda ex: f"Question: {ex['goal']}\nAnswer:",
+        "choices": lambda ex: [" " + ex["sol1"], " " + ex["sol2"]],
+        "gold": lambda ex: int(ex["label"]),
+        "dataset": ("piqa", None, "validation"),
+        "fewshot_dataset": ("piqa", None, "train"),
+    },
+    "arc_easy": {
+        "context": lambda ex: f"Question: {ex['question']}\nAnswer:",
+        "choices": lambda ex: [" " + t for t in ex["choices"]["text"]],
+        "gold": lambda ex: ex["choices"]["label"].index(ex["answerKey"]),
+        "dataset": ("ai2_arc", "ARC-Easy", "validation"),
+        "fewshot_dataset": ("ai2_arc", "ARC-Easy", "train"),
+    },
+    "arc_challenge": {
+        "context": lambda ex: f"Question: {ex['question']}\nAnswer:",
+        "choices": lambda ex: [" " + t for t in ex["choices"]["text"]],
+        "gold": lambda ex: ex["choices"]["label"].index(ex["answerKey"]),
+        "dataset": ("ai2_arc", "ARC-Challenge", "validation"),
+        "fewshot_dataset": ("ai2_arc", "ARC-Challenge", "train"),
+    },
+    "hellaswag": {
+        "context": lambda ex: ex["ctx"],
+        "choices": lambda ex: [" " + e for e in ex["endings"]],
+        "gold": lambda ex: int(ex["label"]),
+        "dataset": ("hellaswag", None, "validation"),
+        "fewshot_dataset": ("hellaswag", None, "train"),
+    },
+    "openbookqa": {
+        "context": lambda ex: ex["question_stem"],
+        "choices": lambda ex: [" " + t for t in ex["choices"]["text"]],
+        "gold": lambda ex: ex["choices"]["label"].index(ex["answerKey"]),
+        "dataset": ("openbookqa", "main", "validation"),
+        "fewshot_dataset": ("openbookqa", "main", "train"),
+    },
+    "winogrande": {
+        # context varies per choice, continuation fixed (lm-eval protocol)
+        "style": "ctx_choice",
+        "contexts": lambda ex: [
+            ex["sentence"][: ex["sentence"].index("_")] + opt
+            for opt in (ex["option1"], ex["option2"])
+        ],
+        "continuation": lambda ex: ex["sentence"][
+            ex["sentence"].index("_") + 1 :
+        ],
+        "gold": lambda ex: int(ex["answer"]) - 1,
+        "dataset": ("winogrande", "winogrande_xl", "validation"),
+        "fewshot_dataset": ("winogrande", "winogrande_xl", "train"),
+    },
+    "lambada": {
+        # loglikelihood of the final word given the passage (lm-eval scores
+        # argmax-greedy match; the ll formulation is the standard proxy)
+        "style": "greedy",
+        "context": lambda ex: ex["text"].rsplit(" ", 1)[0],
+        "gold_text": lambda ex: " " + ex["text"].rsplit(" ", 1)[1],
+        "dataset": ("lambada", None, "validation"),
     },
 }
+
+
+def register_task(name: str, template: dict):
+    """Add/override a task template (the extension point the reference gets
+    from lm-eval's task registry)."""
+    TASK_TEMPLATES[name] = template
+
+
+# -------------------------------------------------------------- primitives
 
 
 def loglikelihood_batch(forward_fn, params, tokenizer, pairs, max_length=512):
     """Sum log-prob of each continuation given its context.
 
-    pairs: list of (context, continuation) strings. Returns np.array [n].
+    pairs: list of (context, continuation) strings. Returns
+    (ll_sum np[n], cont_tokens np[n]) — token counts enable acc_norm.
     Right-pads to the longest sequence in the batch (one jit shape per
     padded length bucket).
     """
@@ -69,17 +171,86 @@ def loglikelihood_batch(forward_fn, params, tokenizer, pairs, max_length=512):
     )
     logprobs = logits - _logsumexp(logits)
     out = np.zeros(len(enc))
+    lens = np.zeros(len(enc), dtype=np.int64)
     for i, (ids, cont_len) in enumerate(enc):
         n = len(ids)
+        lens[i] = max(cont_len, 1)
         # token t is predicted by logits at t-1
         for t in range(n - cont_len, n):
             out[i] += logprobs[i, t - 1, ids[t]]
-    return out
+    return out, lens
 
 
 def _logsumexp(x):
     m = x.max(axis=-1, keepdims=True)
     return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+def greedy_until(forward_fn, params, tokenizer, contexts, max_gen_tokens=16,
+                 max_length=512, stop: str = "\n"):
+    """Greedy generation for generation-style tasks (lm-eval greedy_until):
+    full-forward argmax appends (no KV cache needed at eval batch sizes —
+    the serving stack owns the fast path)."""
+    outs = []
+    for ctx in contexts:
+        ids = tokenizer(ctx, add_special_tokens=True)["input_ids"][-max_length:]
+        gen = []
+        for _ in range(max_gen_tokens):
+            arr = np.asarray([ids + gen], dtype=np.int64)
+            logits = np.asarray(
+                forward_fn(
+                    params, jnp.asarray(arr), jnp.ones_like(jnp.asarray(arr))
+                )["logits"]
+            )
+            nxt = int(np.argmax(logits[0, -1]))
+            gen.append(nxt)
+            text = tokenizer.decode(gen)
+            if stop and stop in text:
+                text = text.split(stop)[0]
+                break
+        outs.append(tokenizer.decode(gen).split(stop)[0] if stop else
+                    tokenizer.decode(gen))
+    return outs
+
+
+# ---------------------------------------------------------------- fewshot
+
+
+def make_fewshot_prefix(task: str, exemplars, k: int, seed: int = 1234) -> str:
+    """lm-eval-style k-shot prefix: exemplars joined by blank lines, each
+    "context + gold continuation"."""
+    if k <= 0 or not exemplars:
+        return ""
+    template = TASK_TEMPLATES[task]
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(exemplars), size=min(k, len(exemplars)), replace=False)
+    parts = []
+    for i in idx:
+        ex = exemplars[int(i)]
+        if template.get("style") == "ctx_choice":
+            ctxs = template["contexts"](ex)
+            parts.append(ctxs[template["gold"](ex)] + template["continuation"](ex))
+        elif template.get("style") == "greedy":
+            parts.append(template["context"](ex) + template["gold_text"](ex))
+        else:
+            choices = _choices_fn(template["choices"])(ex)
+            parts.append(template["context"](ex) + choices[template["gold"](ex)])
+    return "\n\n".join(parts) + "\n\n"
+
+
+# --------------------------------------------------------------- task eval
+
+
+def _auto_batch_size(run_chunk, examples, start: int = 32) -> int:
+    """Largest power-of-two batch that executes (model_wrapper.py:57-63)."""
+    bs = start
+    while bs > 1:
+        try:
+            run_chunk(examples[:bs])
+            return bs
+        except Exception:  # OOM / RESOURCE_EXHAUSTED
+            bs //= 2
+    return 1
 
 
 def eval_prompting_task(
@@ -89,34 +260,93 @@ def eval_prompting_task(
     task: str,
     examples,
     limit: int | None = None,
-    batch_size: int = 8,
+    batch_size: int | str = 8,
+    num_fewshot: int = 0,
+    fewshot_examples=None,
+    max_length: int = 512,
 ) -> dict:
-    """Zero-shot classification accuracy for one task over ``examples``
-    (list of dicts in the task's dataset schema)."""
+    """Accuracy (and acc_norm for multiple-choice) for one task.
+
+    ``examples``: list of dicts in the task's dataset schema.
+    ``batch_size="auto"`` probes the largest fitting power of two.
+    """
     template = TASK_TEMPLATES[task]
+    style = template.get("style", "mc")
     if limit is not None:
         examples = examples[:limit]
-    n_choices = len(template["choices"])
-    correct = 0
-    for start in range(0, len(examples), batch_size):
-        chunk = examples[start : start + batch_size]
-        pairs = []
-        for ex in chunk:
-            ctx = template["context"](ex)
-            pairs.extend((ctx, choice) for choice in template["choices"])
-        lls = loglikelihood_batch(forward_fn, params, tokenizer, pairs)
-        for i, ex in enumerate(chunk):
-            scores = lls[i * n_choices : (i + 1) * n_choices]
-            if int(np.argmax(scores)) == template["gold"](ex):
+    prefix = make_fewshot_prefix(
+        task, fewshot_examples if fewshot_examples is not None else examples,
+        num_fewshot,
+    )
+
+    if style == "greedy":
+        correct = 0
+        for ex in examples:
+            pred = greedy_until(
+                forward_fn, params, tokenizer,
+                [prefix + template["context"](ex)], max_length=max_length,
+            )[0]
+            if pred.strip() == template["gold_text"](ex).strip():
                 correct += 1
-    return {"acc": correct / max(len(examples), 1), "n": len(examples)}
+        return {"acc": correct / max(len(examples), 1), "n": len(examples)}
+
+    def requests_for(ex):
+        if style == "ctx_choice":
+            cont = template["continuation"](ex)
+            return [(prefix + c, cont) for c in template["contexts"](ex)]
+        ctx = prefix + template["context"](ex)
+        return [(ctx, c) for c in _choices_fn(template["choices"])(ex)]
+
+    correct = correct_norm = 0
+
+    def run_chunk(chunk):
+        nonlocal correct, correct_norm
+        pairs, spans = [], []
+        for ex in chunk:
+            reqs = requests_for(ex)
+            spans.append((len(pairs), len(reqs)))
+            pairs.extend(reqs)
+        lls, lens = loglikelihood_batch(
+            forward_fn, params, tokenizer, pairs, max_length
+        )
+        got = got_norm = 0
+        for (start, n), ex in zip(spans, chunk):
+            scores = lls[start : start + n]
+            nscores = scores / lens[start : start + n]
+            gold = template["gold"](ex)
+            got += int(np.argmax(scores)) == gold
+            got_norm += int(np.argmax(nscores)) == gold
+        correct += got
+        correct_norm += got_norm
+
+    if batch_size == "auto":
+        probe = _auto_batch_size(
+            lambda chunk: loglikelihood_batch(
+                forward_fn, params, tokenizer,
+                [p for ex in chunk for p in requests_for(ex)], max_length,
+            ),
+            examples,
+        )
+        batch_size = probe
+        correct = correct_norm = 0
+    for start in range(0, len(examples), batch_size):
+        run_chunk(examples[start : start + batch_size])
+    n = max(len(examples), 1)
+    return {
+        "acc": correct / n,
+        "acc_norm": correct_norm / n,
+        "n": len(examples),
+        "batch_size": batch_size,
+    }
 
 
-def load_task_examples(task: str):
-    """Load the task's eval split via HF datasets (cache or network)."""
+def load_task_examples(task: str, which: str = "dataset"):
+    """Load the task's split via HF datasets (cache or network)."""
     from datasets import load_dataset
 
-    repo, subset, split = TASK_TEMPLATES[task]["dataset"]
+    repo, subset, split = TASK_TEMPLATES[task][which]
+    if subset is None:
+        return list(load_dataset(repo, split=split))
     return list(load_dataset(repo, subset, split=split))
 
 
@@ -126,8 +356,10 @@ def eval_prompting_tasks(
     tokenizer,
     tasks: list[str],
     limit: int | None = None,
-    batch_size: int = 8,
+    batch_size: int | str = 8,
+    num_fewshot: int = 0,
     examples_by_task: dict | None = None,
+    fewshot_by_task: dict | None = None,
 ) -> dict:
     """Mean accuracy across tasks (reference evaluate_prompting.py:16-59)."""
     results = {}
@@ -137,8 +369,14 @@ def eval_prompting_tasks(
             if examples_by_task is not None
             else load_task_examples(task)
         )
+        fewshot = None
+        if fewshot_by_task is not None:
+            fewshot = fewshot_by_task.get(task)
+        elif num_fewshot > 0 and "fewshot_dataset" in TASK_TEMPLATES[task]:
+            fewshot = load_task_examples(task, "fewshot_dataset")
         results[task] = eval_prompting_task(
-            forward_fn, params, tokenizer, task, examples, limit, batch_size
+            forward_fn, params, tokenizer, task, examples, limit, batch_size,
+            num_fewshot, fewshot,
         )
     accs = [r["acc"] for r in results.values()]
     return {"results": results, "mean_acc": float(np.mean(accs))}

@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .packing import (
     _SLICE,
@@ -60,13 +61,33 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scales_ref, o_ref, *, block: int,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    codes = codes_ref[:].astype(jnp.float32)  # [bn, bk]
+    # bf16 dequant arithmetic: int8 code and power-of-2 scale are both exact
+    # in bf16 (<= 7 mantissa bits), and so is their product — cheaper on the
+    # VPU than the f32 path (tools/kvariants.py: bit-exact, ~8% faster)
+    codes = codes_ref[:].astype(jnp.bfloat16)  # [bn, bk]
     scales = scales_ref[0]  # [bn, bk // block]
-    w = codes * _expand_scales(scales, block, 0)
-    w = w.astype(jnp.bfloat16)
+    w = codes * _expand_scales(scales, block, 0).astype(jnp.bfloat16)
     x = x_ref[:].astype(jnp.bfloat16)
     o_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _tpu_params(m, n, k_padded, weight_bytes, interpret):
+    """Grid-dim semantics + cost estimate: lets Mosaic pipeline the
+    (parallel, parallel, arbitrary) grid and schedule DMAs against the
+    true bytes moved (on-chip tuning: tools/ktune.py rotation benchmark)."""
+    if interpret:
+        return {}
+    return dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k_padded,
+            bytes_accessed=weight_bytes + m * k_padded * 4 + m * n * 4,
+            transcendentals=0,
+        ),
     )
 
 
@@ -75,8 +96,8 @@ def bfp_matmul_pallas(
     x: jax.Array,
     packed: PackedBFP,
     bm: int = 128,
-    bn: int = 128,
-    bk: int = 512,
+    bn: int = 1024,
+    bk: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """x [M, K] @ unpack(packed)[N, K]^T -> [M, N] (f32).
@@ -118,6 +139,7 @@ def bfp_matmul_pallas(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         interpret=interpret,
+        **_tpu_params(m, n, k_padded, codes.size + scales.size * 4, interpret),
     )(x, codes, scales)
 
 
@@ -141,13 +163,18 @@ def _subbyte_kernel(x_ref, words_ref, scales_ref, o_ref, *, width: int,
     spb = _SLICE // block  # scale columns per slice
     acc = jnp.zeros_like(o_ref)
     for j in range(per_word):
-        codes = ((words >> jnp.uint32(width * j)) & mask).astype(jnp.int32) - cmax
+        # bf16 dequant: code (<= 7 bits) and power-of-2 scale are exact in
+        # bf16, as is their product — bit-exact vs the f32 path and cheaper
+        # on the VPU (tools/kvariants.py on-chip measurements)
+        codes = (
+            ((words >> jnp.uint32(width * j)) & mask).astype(jnp.int32) - cmax
+        ).astype(jnp.bfloat16)
         s = scales[:, j * spb : (j + 1) * spb]  # [bn, spb]
-        w = codes.astype(jnp.float32) * _expand_scales(s, block, width)
+        w = codes * _expand_scales(s, block, width).astype(jnp.bfloat16)
         xs = x[:, j * _SLICE : (j + 1) * _SLICE].astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             xs,
-            w.astype(jnp.bfloat16),
+            w,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -159,7 +186,7 @@ def bfp_matmul_subbyte_pallas(
     x: jax.Array,
     packed: PackedBFPSub,
     bm: int = 256,
-    bn: int = 256,
+    bn: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """x [M, K] @ unpack(packed)[N, K]^T -> [M, N] (f32), bit-packed weights."""
@@ -188,6 +215,9 @@ def bfp_matmul_subbyte_pallas(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         interpret=interpret,
+        **_tpu_params(
+            m, n, k_padded, words.size * 4 + scales.size * 4, interpret
+        ),
     )(x, words, scales)
 
 

@@ -75,18 +75,20 @@ def effective_block_len(block_size, in_features: int) -> int | None:
     return min(bs[-1], in_features) if bs[-1] != -1 else in_features
 
 
-def pack_block_fp(
-    w: jax.Array,
-    width: int,
-    exponent_width: int = 8,
-    exponent_bias=None,
-    block_size=16,
-) -> PackedBFP:
-    """Quantize+pack a [out, in] weight. Same grid as ``_block_fp_qdq``."""
-    out_features, in_features = w.shape
-    bs = effective_block_len(block_size, in_features)
-    assert bs is not None, f"unsupported 2-D tile block for packing: {block_size}"
+def _bfp_encode_blocked(blocked: jax.Array, width: int, exponent_width: int,
+                        exponent_bias):
+    """Shared blocked-encode core: [..., nb, bs] -> (codes int8 [..., nb, bs],
+    scales f32 [..., nb]). Same grid as ``_block_fp_qdq``: per-block abs max
+    with the zero-block fix, exponent = clamp(ceil(log2(max))), mantissa
+    round half-to-even, saturation. Tiny-value policy (ONE policy for both
+    the weight and KV-cache packers): elements with |x| <= 1e-8 store code 0 —
+    the packed format cannot pass off-grid values through like the
+    reference's zero-preserving STE trick (reference block_fp.py:92-94).
 
+    int8 codes require width <= 8 (|code| <= 2^(width-1)-1 <= 127); wider
+    block_fp configs must stay on the fake-quant path.
+    """
+    assert width <= 8, f"int8 code storage requires width <= 8, got {width}"
     if exponent_bias in (None, "none", "None"):
         exponent_bias = 2 ** (exponent_width - 1) - 1
     exponent_max = 2**exponent_width - 1 - exponent_bias
@@ -94,14 +96,7 @@ def pack_block_fp(
     mantissa_bits = width - 1
     mantissa_max = 2**mantissa_bits - 1
 
-    pad = (-in_features) % bs
-    if pad:
-        w = jnp.pad(w, ((0, 0), (0, pad)))
-    in_padded = w.shape[1]
-    nb = in_padded // bs
-
-    blocked = w.reshape(out_features, nb, bs)
-    pbm = jnp.max(jnp.abs(blocked), axis=2)
+    pbm = jnp.max(jnp.abs(blocked), axis=-1)
     # zero-block fix (reference block_fp.py:54-58)
     is_zero = pbm == 0
     nonzero_min = jnp.min(jnp.where(is_zero, jnp.inf, pbm))
@@ -115,12 +110,39 @@ def pack_block_fp(
     sign = jnp.sign(blocked + 1e-9)
     value = jnp.abs(blocked) + 1e-9
     mant_int = jnp.clip(
-        jnp.round(value / exact_exp2(exponent)[:, :, None] * (2**mantissa_bits)),
+        jnp.round(value / exact_exp2(exponent)[..., None] * (2**mantissa_bits)),
         0,
         mantissa_max,
     )
-    codes = (sign * mant_int).astype(jnp.int8).reshape(out_features, in_padded)
-    return PackedBFP(codes, scales, width, bs, out_features, in_features)
+    codes = jnp.where(jnp.abs(blocked) <= 1e-8, 0.0, sign * mant_int)
+    return codes.astype(jnp.int8), scales
+
+
+def pack_block_fp(
+    w: jax.Array,
+    width: int,
+    exponent_width: int = 8,
+    exponent_bias=None,
+    block_size=16,
+) -> PackedBFP:
+    """Quantize+pack a [out, in] weight. Same grid as ``_block_fp_qdq``."""
+    out_features, in_features = w.shape
+    bs = effective_block_len(block_size, in_features)
+    assert bs is not None, f"unsupported 2-D tile block for packing: {block_size}"
+
+    pad = (-in_features) % bs
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    in_padded = w.shape[1]
+    nb = in_padded // bs
+
+    codes, scales = _bfp_encode_blocked(
+        w.reshape(out_features, nb, bs), width, exponent_width, exponent_bias
+    )
+    return PackedBFP(
+        codes.reshape(out_features, in_padded), scales, width, bs,
+        out_features, in_features,
+    )
 
 
 def unpack_block_fp(p: PackedBFP, dtype=jnp.float32) -> jax.Array:
@@ -164,33 +186,12 @@ def bfp_encode_lastdim(
     """
     d = x.shape[-1]
     assert d % block_size == 0, (d, block_size)
-    if exponent_bias in (None, "none", "None"):
-        exponent_bias = 2 ** (exponent_width - 1) - 1
-    exponent_max = 2**exponent_width - 1 - exponent_bias
-    exponent_min = -exponent_bias
-    mantissa_bits = width - 1
-    mantissa_max = 2**mantissa_bits - 1
-
     nb = d // block_size
-    blocked = x.reshape(x.shape[:-1] + (nb, block_size))
-    pbm = jnp.max(jnp.abs(blocked), axis=-1)
-    is_zero = pbm == 0
-    nonzero_min = jnp.min(jnp.where(is_zero, jnp.inf, pbm))
-    fill = jnp.where(jnp.isinf(nonzero_min), jnp.ones((), pbm.dtype), nonzero_min)
-    pbm = jnp.where(is_zero, fill, pbm)
-
-    exponent = jnp.clip(jnp.ceil(jnp.log2(pbm)), exponent_min, exponent_max)
-    scales = exact_exp2(exponent - mantissa_bits).astype(jnp.float32)
-
-    sign = jnp.sign(blocked + 1e-9)
-    value = jnp.abs(blocked) + 1e-9
-    mant_int = jnp.clip(
-        jnp.round(value / exact_exp2(exponent)[..., None] * (2**mantissa_bits)),
-        0,
-        mantissa_max,
+    codes, scales = _bfp_encode_blocked(
+        x.reshape(x.shape[:-1] + (nb, block_size)),
+        width, exponent_width, exponent_bias,
     )
-    codes = jnp.where(jnp.abs(blocked) <= 1e-8, 0.0, sign * mant_int)
-    return codes.astype(jnp.int8).reshape(x.shape), scales
+    return codes.reshape(x.shape), scales
 
 
 def bfp_decode_lastdim(codes: jax.Array, scales: jax.Array, block_size: int,

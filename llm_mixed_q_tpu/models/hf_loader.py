@@ -151,6 +151,91 @@ def init_llama_params(config, task: str = "lm", seed: int = 0) -> dict:
     return params
 
 
+def init_opt_params(config, task: str = "lm", seed: int = 0) -> dict:
+    """Random-init OPT pytree (tests / drivers / QAT-from-scratch) —
+    mirrors ``opt_params_from_flat``'s tree."""
+    rng = np.random.default_rng(seed)
+    h, ffn, v = config.hidden_size, config.ffn_dim, config.vocab_size
+
+    def w(*shape, scale=0.02):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def lin(out, inp):
+        return {"weight": w(out, inp), "bias": np.zeros(out, np.float32)}
+
+    def ln(d):
+        return {"weight": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)}
+
+    layers = []
+    for _ in range(config.num_hidden_layers):
+        layers.append(
+            {
+                "self_attn": {
+                    n: lin(h, h) for n in ("q_proj", "k_proj", "v_proj", "out_proj")
+                },
+                "self_attn_layer_norm": ln(h),
+                "fc1": lin(ffn, h),
+                "fc2": lin(h, ffn),
+                "final_layer_norm": ln(h),
+            }
+        )
+    params = {
+        "embed_tokens": {"weight": w(v, config.word_embed_proj_dim)},
+        # +2 offset rows (reference OPTLearnedPositionalEmbedding, :115)
+        "embed_positions": {"weight": w(config.max_position_embeddings + 2, h)},
+        "layers": layers,
+        "final_layer_norm": ln(h),
+    }
+    if task == "cls":
+        params["score"] = {"weight": w(config.num_labels, config.word_embed_proj_dim)}
+    elif task == "qa":
+        params["qa_outputs"] = lin(2, config.word_embed_proj_dim)
+    return params
+
+
+def init_bert_params(config, task: str = "cls", seed: int = 0) -> dict:
+    """Random-init BERT pytree — mirrors ``bert_params_from_flat``'s tree."""
+    rng = np.random.default_rng(seed)
+    h, inter, v = config.hidden_size, config.intermediate_size, config.vocab_size
+
+    def w(*shape, scale=0.02):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def lin(out, inp):
+        return {"weight": w(out, inp), "bias": np.zeros(out, np.float32)}
+
+    def ln(d):
+        return {"weight": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)}
+
+    layers = []
+    for _ in range(config.num_hidden_layers):
+        layers.append(
+            {
+                "attention": {
+                    "query": lin(h, h),
+                    "key": lin(h, h),
+                    "value": lin(h, h),
+                    "output": {"dense": lin(h, h), "LayerNorm": ln(h)},
+                },
+                "intermediate": {"dense": lin(inter, h)},
+                "output": {"dense": lin(h, inter), "LayerNorm": ln(h)},
+            }
+        )
+    params = {
+        "embeddings": {
+            "word_embeddings": {"weight": w(v, h)},
+            "position_embeddings": {"weight": w(config.max_position_embeddings, h)},
+            "token_type_embeddings": {"weight": w(config.type_vocab_size, h)},
+            "LayerNorm": ln(h),
+        },
+        "layers": layers,
+        "pooler": {"dense": lin(h, h)},
+    }
+    if task == "cls":
+        params["classifier"] = lin(config.num_labels, h)
+    return params
+
+
 # ---------------------------------------------------------------- opt
 
 

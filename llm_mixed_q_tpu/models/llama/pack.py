@@ -14,7 +14,9 @@ from ..pack_common import pack_linear_node
 from .prepare import _LLAMA_LINEARS
 
 
-def pack_llama_params(params: dict, config, subbyte: bool = True) -> dict:
+def pack_llama_params(
+    params: dict, config, subbyte: bool = True, host: bool = False
+) -> dict:
     if config.quant_config is None:
         return params
     new_params = dict(params)
@@ -26,9 +28,17 @@ def pack_llama_params(params: dict, config, subbyte: bool = True) -> dict:
             new_group = dict(layer[group])
             for name in names:
                 new_group[name] = pack_linear_node(
-                    new_group[name], layer_cfg[group][name], subbyte
+                    new_group[name], layer_cfg[group][name], subbyte, host
                 )
             new_layer[group] = new_group
         new_layers.append(new_layer)
     new_params["layers"] = new_layers
     return new_params
+
+
+def pack_llama_params_host(params: dict, config, subbyte: bool = True) -> dict:
+    """Host-side packing (native C++ engine / CPU-JAX fallback): packed
+    leaves are numpy, so a later ``jax.device_put`` moves only ~width/32 of
+    the fp32 bytes over the host↔device link. Use for models whose fp32
+    params exceed device HBM (e.g. Llama-7B on one 16GB chip)."""
+    return pack_llama_params(params, config, subbyte, host=True)

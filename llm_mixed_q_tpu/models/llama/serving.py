@@ -94,6 +94,11 @@ def kv_cache_pack_spec(config: LlamaQuantizedConfig):
                 return None
             if cfg.get("bypass", False) or cfg.get("name") != "block_fp":
                 return None
+            # int8 codes hold |code| <= 2^(width-1)-1; width > 8 would wrap
+            # silently (reference block_fp default width is 12) — fall back
+            # to the f32 fake-quant cache, which supports any width
+            if cfg.get("weight_width", 0) > 8:
+                return None
             bs = effective_block_len(cfg["weight_block_size"], hd)
             if bs is None or hd % bs != 0:
                 return None
@@ -150,29 +155,41 @@ def _quantize_kv_append(k, v, mm0_cfg, mm1_cfg):
     return q(k, mm0_cfg), q(v, mm1_cfg)
 
 
-def _append_and_read(cache_layer, k, v, position, mm0_cfg, mm1_cfg, pack_spec):
+def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec):
     """Append this step's K/V to the per-layer cache and read the full
     (dequantized) K/V back. cache_layer is the f32 [2, b, nkv, max_len, hd]
     array (pack_spec None) or the (k_codes, k_scales, v_codes, v_scales)
-    tuple of one layer's packed cache."""
+    tuple of one layer's packed cache.
+
+    ``positions`` is PER-SEQUENCE [b] — ragged batches write each sequence's
+    K/V at its own cache offset (a vmapped dynamic_update_slice, which XLA
+    lowers to a batched scatter)."""
     if pack_spec is None:
         kq, vq = _quantize_kv_append(k, v, mm0_cfg, mm1_cfg)
-        cache_layer = jax.lax.dynamic_update_slice(
-            cache_layer, kq[None], (0, 0, 0, position, 0)
-        )
-        cache_layer = jax.lax.dynamic_update_slice(
-            cache_layer, vq[None], (1, 0, 0, position, 0)
+
+        def upd(c, kq_i, vq_i, p):
+            # c: [2, nkv, max_len, hd] one sequence's slice
+            c = jax.lax.dynamic_update_slice(c, kq_i[None], (0, 0, p, 0))
+            return jax.lax.dynamic_update_slice(c, vq_i[None], (1, 0, p, 0))
+
+        cache_layer = jax.vmap(upd, in_axes=(1, 0, 0, 0), out_axes=1)(
+            cache_layer, kq, vq, positions
         )
         return cache_layer, cache_layer[0], cache_layer[1]
     bs_k, bs_v = pack_spec
     kc, ks, vc, vs = cache_layer
     k_codes, k_scales = _encode_kv(k, mm0_cfg, bs_k)
     v_codes, v_scales = _encode_kv(v, mm1_cfg, bs_v)
-    at = (0, 0, position, 0)
-    kc = jax.lax.dynamic_update_slice(kc, k_codes, at)
-    ks = jax.lax.dynamic_update_slice(ks, k_scales, at)
-    vc = jax.lax.dynamic_update_slice(vc, v_codes, at)
-    vs = jax.lax.dynamic_update_slice(vs, v_scales, at)
+
+    def updp(buf, new, p):
+        # buf: [nkv, max_len, d] one sequence's slice; new: [nkv, 1, d]
+        return jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+
+    upd_b = jax.vmap(updp, in_axes=(0, 0, 0))
+    kc = upd_b(kc, k_codes, positions)
+    ks = upd_b(ks, k_scales, positions)
+    vc = upd_b(vc, v_codes, positions)
+    vs = upd_b(vs, v_scales, positions)
     # int8 codes * block scales dequantize on the fly; XLA fuses the
     # convert+mul into the attention matmuls, so HBM only ever sees codes
     return (kc, ks, vc, vs), bfp_decode_lastdim(kc, ks, bs_k), bfp_decode_lastdim(
@@ -184,7 +201,7 @@ def _attention_cached(
     params,
     hidden,
     cache_layer,  # [2, b, nkv, max_len, hd] or packed per-layer tuple
-    position,  # scalar int32: current length before this token
+    positions,  # [b] int32: per-sequence length before this token
     cos,
     sin,
     config,
@@ -217,27 +234,29 @@ def _attention_cached(
     k = proj("k_proj", nkv)
     v = proj("v_proj", nkv)
 
-    pos_ids = jnp.full((b, 1), position, dtype=jnp.int32)
+    pos_ids = positions[:, None].astype(jnp.int32)  # [b, 1] per-sequence
     q, k = quantized_apply_rotary_pos_emb(
         q, k, cos, sin, pos_ids, qc("rotary_positional_encoding")
     )
 
     cache_layer, k_all, v_all = _append_and_read(
-        cache_layer, k, v, position, qc("matmul_0"), qc("matmul_1"), pack_spec
+        cache_layer, k, v, positions, qc("matmul_0"), qc("matmul_1"), pack_spec
     )  # k_all/v_all: [b, nkv, max_len, hd]
-    if nh != nkv:
-        rep = nh // nkv
-        k_all = jnp.repeat(k_all, rep, axis=1)
-        v_all = jnp.repeat(v_all, rep, axis=1)
 
     # q quantized per matmul_0 data_in; cached K already quantized
     mm0 = qc("matmul_0")
     if not mm0.get("bypass", False):
         qq = make_entry_quantizer(mm0, "data_in", skip_first_dim=True)
         q = qq(q.reshape(b * nh, q_len, hd)).reshape(b, nh, q_len, hd)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_all) / math.sqrt(hd)
+    # grouped-query attention: fold the nh/nkv rep factor into an extra
+    # query axis instead of jnp.repeat-ing K/V (repeat would materialize a
+    # full f32 copy of the cache, negating the packed-storage bandwidth win)
+    rep = nh // nkv
+    qg = q.reshape(b, nkv, rep * q_len, hd)
+    scores = jnp.einsum("bkrd,bksd->bkrs", qg, k_all) / math.sqrt(hd)
     valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3) <= position
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+        <= positions[:, None, None, None]
     )
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
@@ -245,10 +264,12 @@ def _attention_cached(
     if not mm1.get("bypass", False):
         pq = make_entry_quantizer(mm1, "data_in", skip_first_dim=True)
         probs = pq(probs.reshape(b * nh, q_len, max_len)).reshape(
-            b, nh, q_len, max_len
+            b, nkv, rep * q_len, max_len
         )
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, nh * hd)
+    ctx = jnp.einsum("bkrs,bksd->bkrd", probs, v_all)
+    ctx = ctx.reshape(b, nh, q_len, hd).transpose(0, 2, 1, 3).reshape(
+        b, q_len, nh * hd
+    )
     out = quantized_linear(
         ctx,
         params["o_proj"]["weight"],
@@ -263,13 +284,22 @@ def decode_step(
     params,
     token,  # [b, 1] int32
     cache,  # [L, 2, b, nkv, max_len, hd] or PackedKVCache
-    position,  # scalar int32
+    position,  # scalar int32 OR per-sequence [b] int32 (ragged batches)
     config: LlamaQuantizedConfig,
     quantize_weights: bool = True,
 ):
-    """One incremental decode step -> (logits [b, vocab], new cache)."""
+    """One incremental decode step -> (logits [b, vocab], new cache).
+
+    ``position`` may be per-sequence: each sequence's K/V is written at its
+    own cache offset, RoPE uses its own logical position, and attention
+    masks beyond it — the fix for ragged (padded) prompts (round-1 used one
+    shared position, wrong for any batch with unequal prompt lengths)."""
     packed = isinstance(cache, PackedKVCache)
     pack_spec = (cache.bs_k, cache.bs_v) if packed else None
+    b = token.shape[0]
+    positions = jnp.broadcast_to(
+        jnp.asarray(position, dtype=jnp.int32), (b,)
+    )
     hidden = params["embed_tokens"]["weight"][token]
     max_len = cache.k_codes.shape[3] if packed else cache.shape[4]
     cos, sin = rope_tables(max_len, config.head_dim, config.rope_theta, hidden.dtype)
@@ -288,7 +318,7 @@ def decode_step(
             layer_params["self_attn"],
             h,
             layer_cache_in,
-            position,
+            positions,
             cos,
             sin,
             config,
@@ -371,7 +401,22 @@ def prefill_into_cache(params, input_ids, attention_mask, cache, config,
     return logits, cache, lengths
 
 
-def generate_greedy(
+def _sample_fn(temperature: float, top_k: int):
+    """logits [b, V], key -> tokens [b]. temperature 0 = greedy."""
+    if temperature <= 0.0:
+        return lambda logits, key: jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def sample(logits, key):
+        logits = logits / temperature
+        if top_k:
+            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            logits = jnp.where(logits < kth, NEG_INF, logits)
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    return sample
+
+
+def generate(
     params,
     config: LlamaQuantizedConfig,
     input_ids,
@@ -380,14 +425,28 @@ def generate_greedy(
     max_len: int | None = None,
     quantize_weights: bool = True,
     packed_kv: bool | None = None,
+    eos_token_id: int | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    seed: int = 0,
 ):
-    """Greedy decoding with the fixed-size quantized KV cache (jitted
+    """Batched generation with the fixed-size quantized KV cache (jitted
     prefill + one jitted decode step reused every token).
+
+    Handles RAGGED prompts correctly: right-padded batches use each
+    sequence's true length (from the attention mask) for its RoPE
+    positions, cache write offsets, and attention mask — matching
+    per-sequence unbatched generation token-for-token.
+
+    eos_token_id: stop a sequence once it emits EOS (its remaining slots
+    are filled with EOS). temperature/top_k: 0/0 = greedy, else sampled.
 
     packed_kv: True/False forces packed (codes+scales) vs fake-quant f32
     cache storage; None (default) auto-selects packed whenever the quant
     config permits (see ``kv_cache_pack_spec``). Both store the SAME
-    quantized values — packed is a storage/bandwidth optimization."""
+    quantized values — packed is a storage/bandwidth optimization (its only
+    numeric deviation is the documented |x|<=1e-8 zero-preserving edge
+    case; pass packed_kv=False for bit-identical fake-quant caching)."""
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
     b, prompt_len = input_ids.shape
     if attention_mask is None:
@@ -408,14 +467,180 @@ def generate_greedy(
     step = jax.jit(
         lambda p, t, c, pos: decode_step(p, t, c, pos, config, quantize_weights)
     )
+    sample = jax.jit(_sample_fn(temperature, top_k))
+    key = jax.random.PRNGKey(seed)
 
     logits, cache, lengths = prefill(params, input_ids, attention_mask, cache)
-    # single shared position (right-aligned batches assumed; pad-free prompts)
-    position = int(prompt_len)
-    tokens = [jnp.argmax(logits, axis=-1).astype(jnp.int32)]
+    key, sub = jax.random.split(key)
+    tokens = [sample(logits, sub)]
+    done = np.zeros(b, dtype=bool)
+    if eos_token_id is not None:
+        done |= np.asarray(tokens[-1]) == eos_token_id
     for t in range(max_new_tokens - 1):
-        logits, cache = step(
-            params, tokens[-1][:, None], cache, jnp.int32(position + t)
-        )
-        tokens.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        if eos_token_id is not None and done.all():
+            pad = jnp.full((b,), eos_token_id, jnp.int32)
+            tokens.extend([pad] * (max_new_tokens - 1 - t))
+            break
+        # per-sequence positions: this token lands at lengths + t
+        positions = lengths + t
+        logits, cache = step(params, tokens[-1][:, None], cache, positions)
+        key, sub = jax.random.split(key)
+        nxt = sample(logits, sub)
+        if eos_token_id is not None:
+            nxt = jnp.where(jnp.asarray(done), eos_token_id, nxt)
+            done |= np.asarray(nxt) == eos_token_id
+        tokens.append(nxt)
     return np.stack([np.asarray(t) for t in tokens], axis=1)
+
+
+def generate_greedy(
+    params,
+    config: LlamaQuantizedConfig,
+    input_ids,
+    attention_mask=None,
+    max_new_tokens: int = 32,
+    max_len: int | None = None,
+    quantize_weights: bool = True,
+    packed_kv: bool | None = None,
+):
+    """Greedy decoding (back-compat wrapper over ``generate``)."""
+    return generate(
+        params,
+        config,
+        input_ids,
+        attention_mask,
+        max_new_tokens,
+        max_len,
+        quantize_weights,
+        packed_kv,
+    )
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over one fixed cache (BASELINE.md
+    north star "continuous batching across hosts"; the reference has no
+    serving stack at all).
+
+    ``num_slots`` sequences decode together in a single jitted step;
+    finished slots are freed and refilled from the queue immediately —
+    admission does not wait for the whole batch to drain. Each request is
+    prefilled alone (prompt padded to a bucket to bound jit shapes) and its
+    KV written into the slot's cache rows; per-sequence positions
+    (decode_step's ragged support) keep every slot on its own timeline.
+    """
+
+    def __init__(
+        self,
+        params,
+        config: LlamaQuantizedConfig,
+        num_slots: int = 8,
+        max_len: int = 512,
+        quantize_weights: bool = True,
+        eos_token_id: int | None = None,
+        max_new_tokens: int = 64,
+        prompt_bucket: int = 32,
+    ):
+        self.params = params
+        self.config = config
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.eos_token_id = eos_token_id
+        self.max_new_tokens = max_new_tokens
+        self.prompt_bucket = prompt_bucket
+        self.cache = init_kv_cache(config, num_slots, max_len)
+        self._positions = np.zeros(num_slots, dtype=np.int32)
+        self._last_tok = np.zeros(num_slots, dtype=np.int32)
+        self._req = [None] * num_slots  # request id per slot
+        self._emitted = {}  # request id -> [tokens]
+        self._queue = []  # (request_id, prompt list[int])
+        self._next_id = 0
+        self._done = {}
+
+        self._step = jax.jit(
+            lambda p, t, c, pos: decode_step(p, t, c, pos, config,
+                                             quantize_weights)
+        )
+        self._prefill = jax.jit(
+            lambda p, i, m, c: prefill_into_cache(p, i, m, c, config,
+                                                  quantize_weights)
+        )
+
+        def write_slot(cache, slot_cache, slot):
+            # cache [L, 2, S, ...]; slot_cache [L, 2, 1, ...]
+            return jax.lax.dynamic_update_slice(
+                cache, slot_cache, (0, 0, slot, 0, 0, 0)
+            )
+
+        self._write_slot = jax.jit(write_slot)
+
+    def submit(self, prompt_ids) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, list(int(t) for t in np.asarray(prompt_ids))))
+        self._emitted[rid] = []
+        return rid
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self._req[slot] is not None or not self._queue:
+                continue
+            rid, prompt = self._queue.pop(0)
+            plen = len(prompt)
+            assert plen < self.max_len, (
+                f"prompt ({plen} tokens) must be shorter than max_len "
+                f"({self.max_len})"
+            )
+            bucket = (
+                (plen + self.prompt_bucket - 1) // self.prompt_bucket
+            ) * self.prompt_bucket
+            bucket = min(bucket, self.max_len)  # cache rows cap the bucket
+            ids = np.zeros((1, bucket), dtype=np.int32)
+            mask = np.zeros((1, bucket), dtype=np.int32)
+            ids[0, :plen] = prompt
+            mask[0, :plen] = 1
+            tmp = init_kv_cache(self.config, 1, self.max_len)
+            logits, tmp, _ = self._prefill(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), tmp
+            )
+            self.cache = self._write_slot(self.cache, tmp, slot)
+            tok = int(np.argmax(np.asarray(logits)[0]))
+            self._req[slot] = rid
+            self._positions[slot] = plen
+            self._last_tok[slot] = tok
+            self._emit(slot, tok)
+
+    def _emit(self, slot, tok):
+        rid = self._req[slot]
+        self._emitted[rid].append(tok)
+        hit_eos = self.eos_token_id is not None and tok == self.eos_token_id
+        if hit_eos or len(self._emitted[rid]) >= self.max_new_tokens:
+            self._done[rid] = self._emitted[rid]
+            self._req[slot] = None  # free the slot for the next request
+
+    def step(self) -> bool:
+        """Admit pending requests, run one decode step for all active
+        slots, emit one token each. Returns False when fully idle."""
+        self._admit()
+        if all(r is None for r in self._req):
+            return False
+        logits, self.cache = self._step(
+            self.params,
+            jnp.asarray(self._last_tok[:, None]),
+            self.cache,
+            jnp.asarray(self._positions),
+        )
+        logits = np.asarray(logits)
+        for slot in range(self.num_slots):
+            if self._req[slot] is None:
+                continue
+            tok = int(np.argmax(logits[slot]))
+            self._positions[slot] += 1
+            self._last_tok[slot] = tok
+            self._emit(slot, tok)
+        return True
+
+    def run(self) -> dict[int, list[int]]:
+        """Drive until every submitted request has finished."""
+        while self.step() or self._queue:
+            pass
+        return dict(self._done)

@@ -321,6 +321,14 @@ class Study:
     ):
         # objectives here are whole-model evals on one accelerator; parallel
         # trials would contend for it, so n_jobs is accepted but sequential
+        if n_jobs not in (1, None):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"n_jobs={n_jobs} requested but trials run sequentially: "
+                "each objective is a whole-model eval on one accelerator, "
+                "so parallel trials would contend for the device"
+            )
         start = time.monotonic()
         for _ in range(n_trials):
             if timeout is not None and time.monotonic() - start > timeout:

@@ -1,0 +1,306 @@
+"""Quality gate: perplexity delta + per-node SQNR, offline-reproducible.
+
+BASELINE.md's quality gate is "W6A6 BFP Llama-7B <= 0.1 ppl delta vs fp32 on
+Wikitext2". Real checkpoints and the Wikitext2 corpus are unreachable in this
+environment (zero egress, no HF cache), so this harness is the achievable
+substitute (VERDICT.md Next #3): the EXACT Wikitext2 protocol
+(fixed-seq-len chunks, ppl = exp(sum loss*bs*L / (L*N)) — reference
+eval_lm.py:38-63) run on a deterministic synthetic corpus with a tiny Llama
+briefly trained fp32 on it, then evaluated with the same weights under:
+
+  - fp32 (bypass)           — the baseline
+  - W8A8 integer            — the llm.int8-style comparison point
+  - W6A6 BFP fake-quant     — the headline config (bfp_6bit.toml values)
+  - W4A4 BFP fake-quant     — the aggressive config
+  - W6A6 BFP packed         — sub-byte codes + fused kernel path; its delta
+                              vs the W6A6 fake path isolates packed-storage
+                              numerics (documented |x|<=1e-8 deviation only)
+
+plus a per-node SQNR table (10*log10(||y_fp32||^2 / ||y_fp32 - y_q||^2)) of
+every quantized linear's output on one batch — the op-level numerics report.
+
+Training the model first matters: an untrained net has ~uniform logits and
+quantization deltas would vanish in noise; 300 optimizer steps give the
+corpus-structure-aware weights that make the ppl delta a real signal.
+
+Usage: python quality.py [--out QUALITY.json] [--steps 300]
+Writes the JSON report and prints one summary line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+VOCAB = 512
+SEQ = 128
+HIDDEN, INTER, LAYERS, HEADS = 256, 704, 4, 4
+
+
+def synthetic_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
+    """Deterministic order-1 Markov corpus with skewed transitions — enough
+    structure that a trained LM reaches ppl far below vocab size."""
+    rng = np.random.default_rng(seed)
+    # sparse row-stochastic transition matrix: each token has 8 likely successors
+    succ = rng.integers(0, VOCAB, size=(VOCAB, 8))
+    probs = rng.dirichlet(np.full(8, 0.4), size=VOCAB)
+    toks = np.empty(n_tokens, dtype=np.int32)
+    toks[0] = 0
+    draws = rng.random(n_tokens)
+    choice = (draws[:, None] > np.cumsum(probs, axis=1)[toks[0]]).sum()
+    for i in range(1, n_tokens):
+        row = toks[i - 1]
+        c = int((draws[i] > np.cumsum(probs[row])).sum())
+        toks[i] = succ[row, min(c, 7)]
+    return toks
+
+
+def chunk_batches(tokens: np.ndarray, batch: int):
+    n = len(tokens) // SEQ
+    ids = tokens[: n * SEQ].reshape(n, SEQ)
+    for i in range(0, n - batch + 1, batch):
+        chunk = ids[i : i + batch]
+        yield {
+            "input_ids": chunk,
+            "attention_mask": np.ones_like(chunk),
+            "labels": chunk,
+        }
+
+
+def quant_cfg(name: str):
+    from llm_mixed_q_tpu.utils.toml_io import load_config
+
+    if name == "fp32":
+        return None
+    path = {
+        "w6a6_bfp": "configs/quantization/bfp_6bit.toml",
+        "w4a4_bfp": "configs/quantization/bfp_4bit.toml",
+    }[name]
+    return load_config(path)
+
+
+def calibrated_int8_config(params, fp32_config, calib_tokens):
+    """W8A8 integer config with frac widths derived from an activation stat
+    profile (the llm.int8-style calibrated baseline; reference
+    stat_profile_to_quant_config.py:30 pipeline, run end-to-end here)."""
+    from llm_mixed_q_tpu.config import (
+        transform_stat_profile_to_int_quant_config,
+    )
+    from llm_mixed_q_tpu.models.llama import (
+        format_stat_profiled_int_config_llama_quantized,
+        llama_for_causal_lm,
+        parse_llama_quantized_config,
+    )
+    from llm_mixed_q_tpu.stats.profiler import profile_statistics
+
+    batches = list(chunk_batches(calib_tokens, 4))[:4]
+    profile = profile_statistics(
+        batches=batches, arch="llama", model_fn=llama_for_causal_lm,
+        config=fp32_config, params=params,
+    )
+    qc = transform_stat_profile_to_int_quant_config(
+        profile, "range_min_max", width=8
+    )
+    qc = format_stat_profiled_int_config_llama_quantized(qc, LAYERS)
+    return parse_llama_quantized_config(qc, LAYERS, strict=False)
+
+
+def build_model(qname: str):
+    from llm_mixed_q_tpu.models.llama import LlamaQuantizedConfig
+
+    return LlamaQuantizedConfig(
+        vocab_size=VOCAB,
+        hidden_size=HIDDEN,
+        intermediate_size=INTER,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        max_position_embeddings=SEQ,
+        quant_config=quant_cfg(qname),
+    )
+
+
+def train_fp32(params, config, corpus, steps: int, batch: int = 8):
+    import optax
+
+    from llm_mixed_q_tpu.models.llama import llama_for_causal_lm
+
+    opt = optax.adamw(3e-4)
+    params = jax.tree.map(jnp.asarray, params)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids):
+        def loss_fn(p):
+            out = llama_for_causal_lm(
+                p, ids, jnp.ones_like(ids), labels=ids, config=config,
+                quantize_weights=False,
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = len(corpus) // SEQ
+    ids_all = corpus[: n * SEQ].reshape(n, SEQ)
+    rng = np.random.default_rng(1)
+    loss = None
+    for s in range(steps):
+        rows = rng.integers(0, n, size=batch)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(ids_all[rows], jnp.int32)
+        )
+    return params, float(loss)
+
+
+def eval_ppl(params, config, test_tokens, quantize_weights: bool):
+    from llm_mixed_q_tpu.eval.eval_lm import eval_lm_wikitext2
+    from llm_mixed_q_tpu.models.llama import llama_for_causal_lm
+
+    @jax.jit
+    def fwd(p, ids, mask, labels):
+        return llama_for_causal_lm(
+            p, ids, mask, labels=labels, config=config,
+            quantize_weights=quantize_weights,
+        )
+
+    return eval_lm_wikitext2(fwd, params, chunk_batches(test_tokens, 4))
+
+
+def node_sqnr(params, fp32_config, q_config, test_tokens):
+    """Per-quantized-linear SQNR (dB) of node outputs, quantized vs fp32
+    forward on one batch, via the eager tap collector."""
+    from llm_mixed_q_tpu.models.llama import llama_for_causal_lm
+    from llm_mixed_q_tpu.ops.linear import capture_quant_node_taps
+
+    batch = next(chunk_batches(test_tokens, 2))
+    ids = jnp.asarray(batch["input_ids"], jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    class Collector:
+        def __init__(self):
+            self.outs = {}
+
+        def on_linear(self, name, x, w, b, out):
+            self.outs[name] = np.asarray(out)
+
+    def run(config, qw):
+        c = Collector()
+        with capture_quant_node_taps(c):
+            llama_for_causal_lm(
+                params, ids, mask, config=config, quantize_weights=qw
+            )
+        return c.outs
+
+    ref = run(fp32_config, False)
+    qout = run(q_config, True)
+    table = {}
+    for name, y in ref.items():
+        if name not in qout:
+            continue
+        err = float(np.sum((y - qout[name]) ** 2))
+        sig = float(np.sum(y**2))
+        table[name] = (
+            round(10 * math.log10(sig / err), 2) if err > 0 else float("inf")
+        )
+    return table
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY.json")
+    ap.add_argument("--steps", type=int, default=300)
+    args = ap.parse_args()
+
+    corpus = synthetic_corpus(400 * SEQ, seed=0)
+    train_toks, test_toks = corpus[: 320 * SEQ], corpus[320 * SEQ :]
+
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama.pack import pack_llama_params
+
+    fp32_cfg = build_model("fp32")
+    params = init_llama_params(fp32_cfg, task="lm", seed=0)
+    params, train_loss = train_fp32(params, fp32_cfg, train_toks, args.steps)
+    print(f"trained {args.steps} steps, final loss {train_loss:.3f}")
+
+    report = {
+        "protocol": "wikitext2-fixed-seq (reference eval_lm.py:38-63), "
+        "synthetic Markov corpus (offline substitute)",
+        "model": {
+            "hidden": HIDDEN, "layers": LAYERS, "vocab": VOCAB, "seq": SEQ,
+            "train_steps": args.steps,
+        },
+        "configs": {},
+    }
+
+    base = eval_ppl(params, fp32_cfg, test_toks, quantize_weights=False)
+    report["configs"]["fp32"] = {"ppl": round(base["perplexity"], 4)}
+    print(f"fp32: ppl {base['perplexity']:.4f}")
+
+    from llm_mixed_q_tpu.models.llama import LlamaQuantizedConfig
+
+    int8_qc = calibrated_int8_config(params, fp32_cfg, train_toks)
+    int8_cfg = LlamaQuantizedConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=INTER,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        max_position_embeddings=SEQ, quant_config=int8_qc,
+    )
+    r8 = eval_ppl(params, int8_cfg, test_toks, quantize_weights=True)
+    report["configs"]["w8a8_int_calibrated"] = {
+        "ppl": round(r8["perplexity"], 4),
+        "delta_vs_fp32": round(r8["perplexity"] - base["perplexity"], 4),
+        "note": "frac widths from range_min_max stat profile "
+                "(llm.int8-style calibrated baseline)",
+    }
+    print(f"w8a8_int_calibrated: ppl {r8['perplexity']:.4f} "
+          f"(delta {r8['perplexity'] - base['perplexity']:+.4f})")
+
+    for qname in ("w6a6_bfp", "w4a4_bfp"):
+        cfg = build_model(qname)
+        r = eval_ppl(params, cfg, test_toks, quantize_weights=True)
+        delta = r["perplexity"] - base["perplexity"]
+        report["configs"][qname] = {
+            "ppl": round(r["perplexity"], 4),
+            "delta_vs_fp32": round(delta, 4),
+        }
+        print(f"{qname}: ppl {r['perplexity']:.4f} (delta {delta:+.4f})")
+
+    # packed path: same W6A6 weights as bit-packed codes + fused kernel
+    cfg6 = build_model("w6a6_bfp")
+    packed = pack_llama_params(params, cfg6)
+    rp = eval_ppl(packed, cfg6, test_toks, quantize_weights=False)
+    report["configs"]["w6a6_bfp_packed"] = {
+        "ppl": round(rp["perplexity"], 4),
+        "delta_vs_fake_quant": round(
+            rp["perplexity"] - report["configs"]["w6a6_bfp"]["ppl"], 6
+        ),
+        "delta_vs_fp32": round(rp["perplexity"] - base["perplexity"], 4),
+    }
+    print(f"w6a6_bfp_packed: ppl {rp['perplexity']:.4f}")
+
+    report["sqnr_db_w6a6"] = node_sqnr(params, fp32_cfg, cfg6, test_toks)
+    report["sqnr_db_w4a4"] = node_sqnr(
+        params, fp32_cfg, build_model("w4a4_bfp"), test_toks
+    )
+
+    d6 = report["configs"]["w6a6_bfp"]["delta_vs_fp32"]
+    report["gate"] = {
+        "target": "W6A6 BFP ppl delta <= 0.1 vs fp32 (BASELINE.md)",
+        "w6a6_ppl_delta": d6,
+        "pass": bool(abs(d6) <= 0.1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"gate: W6A6 delta {d6:+.4f} -> {'PASS' if report['gate']['pass'] else 'FAIL'}")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
