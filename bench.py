@@ -108,21 +108,28 @@ def stage_kernel(on_tpu):
     x0 = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
 
     def chain(packed_or_w, fn):
-        def body(x, _):
-            y = fn(x, packed_or_w)
-            return jnp.tanh(y[:, :k]), y.sum()
-
         @jax.jit
-        def run(arg, x0):
-            _, outs = lax.scan(
-                lambda x, _: body(x, _), x0, None, length=iters
-            )
-            return outs.sum()
+        def run(arg, x0, n):
+            # arg MUST be the jit argument: closing over the weight bakes it
+            # into the program as a constant, which measured ~10x slow (the
+            # round-2 "37 GB/s" artifact — same bug class as round-1's
+            # params capture; see tools/kprobe.py for the clean harness).
+            # n is a runtime fori_loop bound: ONE compile per variant.
+            def body(_, x):
+                return jnp.tanh(fn(x, arg)[:, :k])
 
-        float(run(packed_or_w, x0))  # compile + warmup
-        t0 = time.perf_counter()
-        float(run(packed_or_w, x0))
-        return (time.perf_counter() - t0) / iters
+            return lax.fori_loop(0, n, body, x0).sum()
+
+        float(run(packed_or_w, x0, 1))  # compile + warmup
+
+        def t_at(n):
+            t0 = time.perf_counter()
+            float(run(packed_or_w, x0, n))
+            return time.perf_counter() - t0
+
+        t_at(2)
+        lo, hi = 2, iters
+        return (min(t_at(hi), t_at(hi)) - min(t_at(lo), t_at(lo))) / (hi - lo)
 
     kind, (tflops_peak, gbs_peak) = chip_peaks()
     out = {"device_kind": kind, "hbm_peak_gbs": gbs_peak, "shape": [m, n, k]}
@@ -156,45 +163,152 @@ def stage_kernel(on_tpu):
         out["fp32_weight_gbs"] = round(4 * n * k / t_f32 / 1e9, 1)
         out["kernel_speedup_vs_fp32_stream"] = round(t_f32 / t_sub, 2)
 
+        # chip speed-of-light reference: XLA bf16 dot streams ~HBM peak
+        # (tools/kprobe.py: 778 GB/s of 819 on v5e)
+        wb = w.astype(jnp.bfloat16)
+
+        def bf16mm(x, w):
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        t_bf16 = chain(wb, bf16mm)
+        out["bf16_us"] = round(t_bf16 * 1e6, 2)
+        out["bf16_weight_gbs"] = round(2 * n * k / t_bf16 / 1e9, 1)
+        # the packed win that matters: absolute time per decode matmul vs
+        # the best dense alternative on the same chip
+        out["kernel_speedup_vs_bf16_resident"] = round(t_bf16 / t_sub, 2)
+
     RESULT["extra"]["kernel"] = out
     RESULT["extra"]["hbm_bw_util"] = out["subbyte_w6_hbm_util"]
     log(f"kernel stage: {out}")
 
 
+# ----------------------------------------------------------- long context
+
+
+def stage_longctx(on_tpu):
+    """Decode tokens/s at a 2k-token cache on an attention-heavy model
+    (4 layers — the weight stream is small, so the KV path dominates):
+    fused Pallas packed-KV attention kernel vs the XLA dequant+einsum path
+    vs the f32 fake-quant cache. ONE compile per variant (iteration count
+    is a runtime fori_loop bound)."""
+    from __graft_entry__ import BFP6
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama.serving import (
+        decode_step,
+        init_kv_cache,
+        init_packed_kv_cache,
+        kv_cache_pack_spec,
+    )
+
+    if on_tpu:
+        hidden, inter, layers, vocab = 2048, 5632, 4, 2048
+        batch, max_len = 8, 2048
+        lo, hi = 2, 18
+    else:
+        hidden, inter, layers, vocab = 256, 704, 2, 512
+        batch, max_len = 2, 64
+        lo, hi = 1, 3
+
+    config = llama_cfg(hidden, inter, layers, vocab, BFP6)
+    params = jax.device_put(
+        pack_host(init_llama_params(config, task="lm", seed=0), config)
+    )
+    jax.block_until_ready(params)
+    spec = kv_cache_pack_spec(config)
+    pos = jnp.full((batch,), max_len - hi - 2, jnp.int32)
+    out = {}
+
+    for name, make_cache, attn_kernel in (
+        ("pallas_kernel", lambda: init_packed_kv_cache(config, batch, max_len,
+                                                       spec), True),
+        ("xla_packed", lambda: init_packed_kv_cache(config, batch, max_len,
+                                                    spec), False),
+        ("fake_quant_f32", lambda: init_kv_cache(config, batch, max_len),
+         None),
+    ):
+        if remaining() < 150 and out:
+            log(f"longctx: skipping {name} (budget)")
+            break
+        try:
+            @jax.jit
+            def chain(p, t, c, q, iters):
+                def body(_, carry):
+                    t, c = carry
+                    logits, c = decode_step(p, t, c, q, config, False,
+                                            attn_kernel)
+                    return (jnp.argmax(logits, -1)[:, None].astype(jnp.int32),
+                            c)
+                t, c = jax.lax.fori_loop(0, iters, body, (t, c))
+                return t.sum()
+
+            cache = make_cache()
+            tok = jnp.ones((batch, 1), jnp.int32)
+            float(chain(params, tok, cache, pos, 1))
+
+            def t_at(n):
+                t0 = time.perf_counter()
+                float(chain(params, tok, cache, pos, n))
+                return time.perf_counter() - t0
+
+            t_at(lo)
+            per = (min(t_at(hi), t_at(hi)) - min(t_at(lo), t_at(lo))) / (
+                hi - lo
+            )
+            out[name] = round(batch / per, 1)
+            log(f"longctx {name}: {batch/per:.1f} tok/s ({per*1e3:.2f} ms/step)")
+        except Exception as e:
+            out[f"{name}_error"] = repr(e)[:160]
+            log(f"longctx {name} failed: {e!r}")
+    if "pallas_kernel" in out and "fake_quant_f32" in out:
+        out["kernel_speedup_vs_f32_cache"] = round(
+            out["pallas_kernel"] / out["fake_quant_f32"], 2
+        )
+    RESULT["extra"]["longctx_2k_tok_s"] = out
+
+
 # --------------------------------------------------------------- decode
 
 
-def make_decode_run(config, quantize_weights, steps):
+def make_decode_run(config, quantize_weights):
     from llm_mixed_q_tpu.models.llama.serving import decode_step
 
-    def run(params, tok0, cache):
-        def body(carry, pos):
+    def run(params, tok0, cache, steps):
+        # steps is a runtime fori_loop bound — ONE compile regardless of
+        # chain length; the loop index is the (scalar, uniform) position,
+        # which takes the cheap dynamic_update_slice cache append
+        def body(pos, carry):
             tok, c = carry
             logits, c = decode_step(
                 params, tok, c, pos, config, quantize_weights
             )
-            nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
-            return (nxt, c), logits.max()
+            return (jnp.argmax(logits, -1)[:, None].astype(jnp.int32), c)
 
-        (_, _), outs = lax.scan(
-            body, (tok0, cache), jnp.arange(steps, dtype=jnp.int32)
-        )
-        return outs.sum()
+        tok, _ = lax.fori_loop(0, steps, body, (tok0, cache))
+        return tok.sum()
 
     return jax.jit(run)
 
 
 def bench_decode(run, params, cache, batch, steps, reps):
-    """tokens/s: `steps` chained decode steps in one jitted scan; rep 0 is
-    compile+warmup. params/cache are jit ARGUMENTS (nothing captured)."""
-    times = []
-    for r in range(reps + 1):
-        tok0 = jnp.full((batch, 1), r + 1, dtype=jnp.int32)
+    """tokens/s via the slope between two chain lengths (RTT + fixed
+    dispatch cancel out). params/cache are jit ARGUMENTS (nothing
+    captured); `reps` timed pairs, best-of taken."""
+    tok0 = jnp.ones((batch, 1), dtype=jnp.int32)
+    float(run(params, tok0, cache, 1))  # compile + warmup
+
+    def t_at(n):
         t0 = time.perf_counter()
-        float(run(params, tok0, cache))
-        if r > 0:
-            times.append(time.perf_counter() - t0)
-    return batch * steps / (sum(times) / len(times))
+        float(run(params, tok0, cache, n))
+        return time.perf_counter() - t0
+
+    lo = max(2, steps // 8)
+    t_at(lo)
+    t_lo = min(t_at(lo) for _ in range(reps))
+    t_hi = min(t_at(steps) for _ in range(reps))
+    return batch * (steps - lo) / (t_hi - t_lo)
 
 
 def llama_cfg(hidden, inter, layers, vocab, quant):
@@ -244,7 +358,7 @@ def stage_decode_1b(on_tpu):
     jax.block_until_ready(packed_params)
     spec = kv_cache_pack_spec(config)
     pcache = init_packed_kv_cache(config, batch, max_len, spec)
-    run_p = make_decode_run(config, False, steps)
+    run_p = make_decode_run(config, False)
     dec_packed = bench_decode(run_p, packed_params, pcache, batch, steps, reps)
     RESULT["extra"]["decode_1b_tok_s_packed"] = round(dec_packed, 1)
     RESULT["value"] = round(dec_packed, 1)
@@ -256,7 +370,7 @@ def stage_decode_1b(on_tpu):
     ptq_params = jax.device_put(get_ptq_preparer("llama")(params, config))
     jax.block_until_ready(ptq_params)
     fcache = init_kv_cache(config, batch, max_len)
-    run_f = make_decode_run(config, False, steps)
+    run_f = make_decode_run(config, False)
     dec_fake = bench_decode(run_f, ptq_params, fcache, batch, steps, reps)
     del ptq_params
     RESULT["extra"]["decode_1b_tok_s_fake_quant"] = round(dec_fake, 1)
@@ -293,7 +407,7 @@ def stage_decode_7b(on_tpu):
 
     spec = kv_cache_pack_spec(config)
     cache = init_packed_kv_cache(config, batch, max_len, spec)
-    run = make_decode_run(config, False, steps)
+    run = make_decode_run(config, False)
     log("compiling 7B decode…")
     tok_s = bench_decode(run, packed, cache, batch, steps, reps)
 
@@ -389,6 +503,23 @@ def main():
 
     config, params, packed_params = stage_decode_1b(on_tpu)
 
+    if remaining() > 180 or not on_tpu:
+        try:
+            stage_prefill_1b(config, params, packed_params, on_tpu)
+        except Exception as e:
+            log(f"prefill stage failed: {e!r}")
+            RESULT["extra"]["prefill_error"] = repr(e)[:200]
+            emit("prefill_failed")
+    else:
+        log("skipping prefill stage (budget)")
+
+    # free every 1B buffer (device + host) before the 7B stage: 7B packed is
+    # ~5.6GB of a 16GB chip and the round-2 run OOMed with 1B still resident
+    del params, packed_params
+    import gc
+
+    gc.collect()
+
     if remaining() > 420 or not on_tpu:
         try:
             stage_decode_7b(on_tpu)
@@ -399,15 +530,16 @@ def main():
     else:
         log("skipping 7B stage (budget)")
 
-    if remaining() > 180 or not on_tpu:
+    if remaining() > 250 or not on_tpu:
         try:
-            stage_prefill_1b(config, params, packed_params, on_tpu)
+            stage_longctx(on_tpu)
+            emit("longctx")
         except Exception as e:
-            log(f"prefill stage failed: {e!r}")
-            RESULT["extra"]["prefill_error"] = repr(e)[:200]
-            emit("prefill_failed")
+            log(f"longctx stage failed: {e!r}")
+            RESULT["extra"]["longctx_error"] = repr(e)[:200]
+            emit("longctx_failed")
     else:
-        log("skipping prefill stage (budget)")
+        log("skipping longctx stage (budget)")
 
     emit("done")
 

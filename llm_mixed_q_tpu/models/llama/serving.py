@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...kernels.attention_decode import (
+    attention_kernel_ok,
+    packed_attention_decode,
+    prob_q_spec,
+)
 from ...kernels.packing import (
     bfp_decode_lastdim,
     bfp_encode_lastdim,
@@ -56,12 +61,22 @@ class PackedKVCache(NamedTuple):
     """KV cache holding REAL packed storage: int8 mantissa codes + per-block
     f32 scales, instead of dequantized f32 values. Decode reads
     1 + 4/bs bytes/element of cache (3.2x less HBM traffic at bs=16) —
-    the reference (and the fake-quant cache above) reads 4."""
+    the reference (and the fake-quant cache above) reads 4.
 
-    k_codes: jax.Array  # int8 [L, b, nkv, max_len, hd]
-    k_scales: jax.Array  # f32  [L, b, nkv, max_len, hd // bs_k]
-    v_codes: jax.Array  # int8 [L, b, nkv, max_len, hd]
-    v_scales: jax.Array  # f32  [L, b, nkv, max_len, hd // bs_v]
+    K is stored TRANSPOSED ([..., hd, max_len]) so the fused Pallas decode
+    kernel's score matmul is a standard MXU op with the kv axis on lanes
+    (kernels/attention_decode.py module docstring). V is natural-order for
+    the context matmul. Quantization blocks are along head_dim on both.
+
+    Each field is a TUPLE of per-layer arrays, not one stacked [L, ...]
+    array: a stacked cache forces a slice copy per layer feeding the Pallas
+    call plus a full-cache jnp.stack copy per step (measured ~1.2GB of temp
+    buffers at 4 layers x 2k context); per-layer leaves update in place."""
+
+    k_codes: tuple  # L x int8 [b, nkv, hd, max_len]
+    k_scales: tuple  # L x f32 [b, nkv, hd // bs_k, max_len]
+    v_codes: tuple  # L x int8 [b, nkv, max_len, hd]
+    v_scales: tuple  # L x f32 [b, nkv, max_len, hd // bs_v]
     bs_k: int  # static
     bs_v: int  # static
 
@@ -116,10 +131,16 @@ def init_packed_kv_cache(
     L = config.num_hidden_layers
     nkv, hd = config.num_key_value_heads, config.head_dim
     return PackedKVCache(
-        jnp.zeros((L, batch, nkv, max_len, hd), jnp.int8),
-        jnp.zeros((L, batch, nkv, max_len, hd // bs_k), jnp.float32),
-        jnp.zeros((L, batch, nkv, max_len, hd), jnp.int8),
-        jnp.zeros((L, batch, nkv, max_len, hd // bs_v), jnp.float32),
+        tuple(jnp.zeros((batch, nkv, hd, max_len), jnp.int8) for _ in range(L)),
+        tuple(
+            jnp.zeros((batch, nkv, hd // bs_k, max_len), jnp.float32)
+            for _ in range(L)
+        ),
+        tuple(jnp.zeros((batch, nkv, max_len, hd), jnp.int8) for _ in range(L)),
+        tuple(
+            jnp.zeros((batch, nkv, max_len, hd // bs_v), jnp.float32)
+            for _ in range(L)
+        ),
         bs_k,
         bs_v,
     )
@@ -155,17 +176,29 @@ def _quantize_kv_append(k, v, mm0_cfg, mm1_cfg):
     return q(k, mm0_cfg), q(v, mm1_cfg)
 
 
-def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec):
+def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec,
+                     keep_packed=False):
     """Append this step's K/V to the per-layer cache and read the full
     (dequantized) K/V back. cache_layer is the f32 [2, b, nkv, max_len, hd]
     array (pack_spec None) or the (k_codes, k_scales, v_codes, v_scales)
     tuple of one layer's packed cache.
 
-    ``positions`` is PER-SEQUENCE [b] — ragged batches write each sequence's
-    K/V at its own cache offset (a vmapped dynamic_update_slice, which XLA
-    lowers to a batched scatter)."""
+    ``positions`` is PER-SEQUENCE [b] (ragged batches write each sequence's
+    K/V at its own cache offset — a vmapped dynamic_update_slice, which XLA
+    lowers to a batched scatter) or a SCALAR (uniform batches — a plain
+    dynamic_update_slice, much cheaper than the scatter on TPU)."""
+    uniform = jnp.ndim(positions) == 0
     if pack_spec is None:
         kq, vq = _quantize_kv_append(k, v, mm0_cfg, mm1_cfg)
+
+        if uniform:
+            cache_layer = jax.lax.dynamic_update_slice(
+                cache_layer, kq[None], (0, 0, 0, positions, 0)
+            )
+            cache_layer = jax.lax.dynamic_update_slice(
+                cache_layer, vq[None], (1, 0, 0, positions, 0)
+            )
+            return cache_layer, cache_layer[0], cache_layer[1]
 
         def upd(c, kq_i, vq_i, p):
             # c: [2, nkv, max_len, hd] one sequence's slice
@@ -180,21 +213,45 @@ def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec):
     kc, ks, vc, vs = cache_layer
     k_codes, k_scales = _encode_kv(k, mm0_cfg, bs_k)
     v_codes, v_scales = _encode_kv(v, mm1_cfg, bs_v)
+    # K is cached transposed ([..., hd/nb, max_len]) — see PackedKVCache
+    k_codes_t = jnp.swapaxes(k_codes, 2, 3)  # [b, nkv, hd, 1]
+    k_scales_t = jnp.swapaxes(k_scales, 2, 3)  # [b, nkv, nb, 1]
 
-    def updp(buf, new, p):
-        # buf: [nkv, max_len, d] one sequence's slice; new: [nkv, 1, d]
-        return jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+    if uniform:
+        def upd_u(buf, new):
+            # buf: [b, nkv, max_len, d]; new: [b, nkv, 1, d]
+            return jax.lax.dynamic_update_slice(buf, new, (0, 0, positions, 0))
 
-    upd_b = jax.vmap(updp, in_axes=(0, 0, 0))
-    kc = upd_b(kc, k_codes, positions)
-    ks = upd_b(ks, k_scales, positions)
-    vc = upd_b(vc, v_codes, positions)
-    vs = upd_b(vs, v_scales, positions)
-    # int8 codes * block scales dequantize on the fly; XLA fuses the
-    # convert+mul into the attention matmuls, so HBM only ever sees codes
-    return (kc, ks, vc, vs), bfp_decode_lastdim(kc, ks, bs_k), bfp_decode_lastdim(
-        vc, vs, bs_v
-    )
+        def upd_ut(buf, new):
+            # transposed: buf [b, nkv, d, max_len]; new [b, nkv, d, 1]
+            return jax.lax.dynamic_update_slice(buf, new, (0, 0, 0, positions))
+
+        kc, ks = upd_ut(kc, k_codes_t), upd_ut(ks, k_scales_t)
+        vc, vs = upd_u(vc, v_codes), upd_u(vs, v_scales)
+    else:
+        def updp(buf, new, p):
+            # buf: [nkv, max_len, d] one sequence's slice; new: [nkv, 1, d]
+            return jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+
+        def updp_t(buf, new, p):
+            # transposed: buf [nkv, d, max_len]; new [nkv, d, 1]
+            return jax.lax.dynamic_update_slice(buf, new, (0, 0, p))
+
+        upd_b = jax.vmap(updp, in_axes=(0, 0, 0))
+        upd_bt = jax.vmap(updp_t, in_axes=(0, 0, 0))
+        kc = upd_bt(kc, k_codes_t, positions)
+        ks = upd_bt(ks, k_scales_t, positions)
+        vc = upd_b(vc, v_codes, positions)
+        vs = upd_b(vs, v_scales, positions)
+    if keep_packed:
+        # the Pallas attention kernel consumes codes + scales directly;
+        # the f32 K/V never exists anywhere
+        return (kc, ks, vc, vs), None, None
+    # XLA fallback: int8 codes * block scales dequantize on the fly; K comes
+    # back TRANSPOSED [b, nkv, hd, max_len] (the caller's score einsum
+    # contracts it directly — no transpose op)
+    k_all_t = kc.astype(jnp.float32) * jnp.repeat(ks, bs_k, axis=2)
+    return (kc, ks, vc, vs), k_all_t, bfp_decode_lastdim(vc, vs, bs_v)
 
 
 def _attention_cached(
@@ -208,6 +265,7 @@ def _attention_cached(
     layer_idx,
     quantize_weights,
     pack_spec=None,
+    attn_kernel=False,
 ):
     b, q_len, _ = hidden.shape  # q_len == 1
     nh, nkv, hd = (
@@ -216,9 +274,13 @@ def _attention_cached(
         config.head_dim,
     )
     max_len = (
-        cache_layer.shape[3] if pack_spec is None else cache_layer[0].shape[2]
+        cache_layer.shape[3] if pack_spec is None else cache_layer[2].shape[2]
     )
     qc = partial(_node_cfg, config.quant_config, layer_idx, "self_attn")
+    # scalar position (uniform batch) stays scalar for the cache append (a
+    # plain dynamic_update_slice instead of a TPU scatter); RoPE/mask/kernel
+    # want the per-sequence view
+    positions_b = jnp.broadcast_to(positions, (b,))
 
     def proj(name, nheads):
         out = quantized_linear(
@@ -234,14 +296,16 @@ def _attention_cached(
     k = proj("k_proj", nkv)
     v = proj("v_proj", nkv)
 
-    pos_ids = positions[:, None].astype(jnp.int32)  # [b, 1] per-sequence
+    pos_ids = positions_b[:, None].astype(jnp.int32)  # [b, 1] per-sequence
     q, k = quantized_apply_rotary_pos_emb(
         q, k, cos, sin, pos_ids, qc("rotary_positional_encoding")
     )
 
+    use_kernel = attn_kernel and pack_spec is not None and q_len == 1
     cache_layer, k_all, v_all = _append_and_read(
-        cache_layer, k, v, positions, qc("matmul_0"), qc("matmul_1"), pack_spec
-    )  # k_all/v_all: [b, nkv, max_len, hd]
+        cache_layer, k, v, positions, qc("matmul_0"), qc("matmul_1"), pack_spec,
+        keep_packed=use_kernel,
+    )  # k_all/v_all: [b, nkv, max_len, hd] (None when the kernel reads codes)
 
     # q quantized per matmul_0 data_in; cached K already quantized
     mm0 = qc("matmul_0")
@@ -253,10 +317,40 @@ def _attention_cached(
     # full f32 copy of the cache, negating the packed-storage bandwidth win)
     rep = nh // nkv
     qg = q.reshape(b, nkv, rep * q_len, hd)
-    scores = jnp.einsum("bkrd,bksd->bkrs", qg, k_all) / math.sqrt(hd)
+
+    if use_kernel:
+        # fused Pallas path: dequant + masked softmax + exact block_fp prob
+        # quantization + context matmul in ONE kernel; HBM streams codes
+        kc, ks, vc, vs = cache_layer
+        ctx = packed_attention_decode(
+            qg,
+            kc, ks, vc, vs,
+            positions_b,
+            pack_spec[0],
+            pack_spec[1],
+            prob_q=prob_q_spec(qc("matmul_1"), max_len),
+            interpret=jax.default_backend() != "tpu",
+        )
+        ctx = ctx.reshape(b, nh, q_len, hd).transpose(0, 2, 1, 3).reshape(
+            b, q_len, nh * hd
+        )
+        out = quantized_linear(
+            ctx,
+            params["o_proj"]["weight"],
+            params["o_proj"].get("bias"),
+            qc("o_proj"),
+            quantize_weights,
+        )
+        return out, cache_layer
+
+    if pack_spec is not None:
+        # packed K comes back transposed [b, nkv, hd, max_len]
+        scores = jnp.einsum("bkrd,bkds->bkrs", qg, k_all) / math.sqrt(hd)
+    else:
+        scores = jnp.einsum("bkrd,bksd->bkrs", qg, k_all) / math.sqrt(hd)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
-        <= positions[:, None, None, None]
+        <= positions_b[:, None, None, None]
     )
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
@@ -287,21 +381,37 @@ def decode_step(
     position,  # scalar int32 OR per-sequence [b] int32 (ragged batches)
     config: LlamaQuantizedConfig,
     quantize_weights: bool = True,
+    attn_kernel: bool | None = None,
 ):
     """One incremental decode step -> (logits [b, vocab], new cache).
 
     ``position`` may be per-sequence: each sequence's K/V is written at its
     own cache offset, RoPE uses its own logical position, and attention
     masks beyond it — the fix for ragged (padded) prompts (round-1 used one
-    shared position, wrong for any batch with unequal prompt lengths)."""
+    shared position, wrong for any batch with unequal prompt lengths).
+
+    ``attn_kernel``: True forces the fused Pallas attention kernel (reads
+    packed KV codes directly — packed cache required); False forces the XLA
+    dequant+einsum path; None auto-selects the kernel whenever the cache is
+    packed and every layer's matmul_1 config is kernel-eligible."""
     packed = isinstance(cache, PackedKVCache)
     pack_spec = (cache.bs_k, cache.bs_v) if packed else None
     b = token.shape[0]
-    positions = jnp.broadcast_to(
-        jnp.asarray(position, dtype=jnp.int32), (b,)
-    )
+    # scalar stays scalar: uniform batches take the cheap dynamic_update_
+    # slice append; [b] positions take the ragged (scatter) append
+    positions = jnp.asarray(position, dtype=jnp.int32)
     hidden = params["embed_tokens"]["weight"][token]
-    max_len = cache.k_codes.shape[3] if packed else cache.shape[4]
+    max_len = cache.v_codes[0].shape[2] if packed else cache.shape[4]
+    if attn_kernel is None:
+        # auto: compiled Pallas on TPU only (interpret mode on CPU is for
+        # tests — orders of magnitude slower than the XLA einsum path)
+        attn_kernel = (
+            packed
+            and jax.default_backend() == "tpu"
+            and attention_kernel_ok(config, max_len)
+        )
+    elif attn_kernel and not packed:
+        raise ValueError("attn_kernel=True requires a packed KV cache")
     cos, sin = rope_tables(max_len, config.head_dim, config.rope_theta, hidden.dtype)
     new_cache = []
     for i, layer_params in enumerate(params["layers"]):
@@ -325,6 +435,7 @@ def decode_step(
             i,
             quantize_weights,
             pack_spec,
+            attn_kernel,
         )
         hidden = residual + h
         residual = hidden
@@ -340,8 +451,9 @@ def decode_step(
     lm_w = params.get("lm_head", params["embed_tokens"])["weight"]
     logits = hidden[:, 0] @ lm_w.T
     if packed:
+        # per-layer tuples: no jnp.stack (a full-cache copy every step)
         out_cache = PackedKVCache(
-            *(jnp.stack([lc[j] for lc in new_cache]) for j in range(4)),
+            *(tuple(lc[j] for lc in new_cache) for j in range(4)),
             cache.bs_k,
             cache.bs_v,
         )
@@ -371,19 +483,23 @@ def prefill_into_cache(params, input_ids, attention_mask, cache, config,
         if packed:
             kc, ks = _encode_kv(k, qc("matmul_0"), cache.bs_k)
             vc, vs = _encode_kv(v, qc("matmul_1"), cache.bs_v)
+            # K is cached transposed [..., hd/nb, max_len]
+            kc_t = jnp.swapaxes(kc, 2, 3)
+            ks_t = jnp.swapaxes(ks, 2, 3)
+
+            def put(leaves, new):
+                at = (0, 0, 0, 0)
+                return (
+                    leaves[:i]
+                    + (jax.lax.dynamic_update_slice(leaves[i], new, at),)
+                    + leaves[i + 1:]
+                )
+
             cache = PackedKVCache(
-                jax.lax.dynamic_update_slice(
-                    cache.k_codes, kc[None], (i, 0, 0, 0, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    cache.k_scales, ks[None], (i, 0, 0, 0, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    cache.v_codes, vc[None], (i, 0, 0, 0, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    cache.v_scales, vs[None], (i, 0, 0, 0, 0)
-                ),
+                put(cache.k_codes, kc_t),
+                put(cache.k_scales, ks_t),
+                put(cache.v_codes, vc),
+                put(cache.v_scales, vs),
                 cache.bs_k,
                 cache.bs_v,
             )
@@ -429,6 +545,7 @@ def generate(
     temperature: float = 0.0,
     top_k: int = 0,
     seed: int = 0,
+    attn_kernel: bool | None = None,
 ):
     """Batched generation with the fixed-size quantized KV cache (jitted
     prefill + one jitted decode step reused every token).
@@ -462,15 +579,22 @@ def generate(
         cache = init_kv_cache(config, b, max_len)
 
     prefill = jax.jit(
-        lambda p, i, m, c: prefill_into_cache(p, i, m, c, config, quantize_weights)
+        lambda p, i, m, c: prefill_into_cache(p, i, m, c, config, quantize_weights),
+        donate_argnums=(3,),
     )
     step = jax.jit(
-        lambda p, t, c, pos: decode_step(p, t, c, pos, config, quantize_weights)
+        lambda p, t, c, pos: decode_step(p, t, c, pos, config, quantize_weights,
+                                         attn_kernel),
+        donate_argnums=(2,),  # cache updates in place — no per-step copy
     )
     sample = jax.jit(_sample_fn(temperature, top_k))
     key = jax.random.PRNGKey(seed)
 
     logits, cache, lengths = prefill(params, input_ids, attention_mask, cache)
+    # uniform batches decode with a SCALAR position (plain dus append);
+    # ragged ones carry per-sequence positions (scatter append)
+    lens_np = np.asarray(lengths)
+    uniform = bool((lens_np == lens_np[0]).all())
     key, sub = jax.random.split(key)
     tokens = [sample(logits, sub)]
     done = np.zeros(b, dtype=bool)
@@ -482,7 +606,7 @@ def generate(
             tokens.extend([pad] * (max_new_tokens - 1 - t))
             break
         # per-sequence positions: this token lands at lengths + t
-        positions = lengths + t
+        positions = jnp.int32(int(lens_np[0]) + t) if uniform else lengths + t
         logits, cache = step(params, tokens[-1][:, None], cache, positions)
         key, sub = jax.random.split(key)
         nxt = sample(logits, sub)
@@ -558,7 +682,8 @@ class ContinuousBatcher:
 
         self._step = jax.jit(
             lambda p, t, c, pos: decode_step(p, t, c, pos, config,
-                                             quantize_weights)
+                                             quantize_weights),
+            donate_argnums=(2,),  # self.cache is reassigned from the result
         )
         self._prefill = jax.jit(
             lambda p, i, m, c: prefill_into_cache(p, i, m, c, config,

@@ -8,8 +8,11 @@ Usage: python tools/ktune.py [base,kern,rot]   (stage selection)
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
