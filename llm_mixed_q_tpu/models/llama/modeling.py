@@ -99,20 +99,37 @@ def attention(
     hd = config.head_dim
     qc = partial(_node_cfg, config.quant_config, layer_idx, "self_attn")
 
-    def proj(name, nheads):
-        out = quantized_linear(
-            hidden,
-            params[name]["weight"],
-            params[name].get("bias"),
-            qc(name),
-            quantize_weights,
-            node_name=f"model_layer_{layer_idx}:self_attn:{name}",
-        )
+    def heads(out, nheads):
         return out.reshape(b, q_len, nheads, hd).transpose(0, 2, 1, 3)
 
-    q = proj("q_proj", nh)
-    k = proj("k_proj", nkv)
-    v = proj("v_proj", nkv)
+    if "qkv_proj" in params:
+        # fused packed projection (pack.py fuse=True): one kernel launch,
+        # one activation quantize; member configs are identical so
+        # q_proj's config speaks for all three
+        node = params["qkv_proj"]
+        fused = quantized_linear(
+            hidden, node["weight"], node.get("bias"), qc("q_proj"),
+            quantize_weights,
+        )
+        nq, nk, _ = node["splits"]
+        q = heads(fused[..., :nq], nh)
+        k = heads(fused[..., nq : nq + nk], nkv)
+        v = heads(fused[..., nq + nk :], nkv)
+    else:
+        def proj(name, nheads):
+            out = quantized_linear(
+                hidden,
+                params[name]["weight"],
+                params[name].get("bias"),
+                qc(name),
+                quantize_weights,
+                node_name=f"model_layer_{layer_idx}:self_attn:{name}",
+            )
+            return heads(out, nheads)
+
+        q = proj("q_proj", nh)
+        k = proj("k_proj", nkv)
+        v = proj("v_proj", nkv)
 
     q, k = quantized_apply_rotary_pos_emb(
         q, k, cos, sin, position_ids, qc("rotary_positional_encoding")
@@ -161,14 +178,24 @@ def attention(
 def mlp(params, hidden, config, layer_idx: int, quantize_weights: bool):
     qc = partial(_node_cfg, config.quant_config, layer_idx, "mlp")
     nn = lambda name: f"model_layer_{layer_idx}:mlp:{name}"
-    gate = quantized_linear(
-        hidden, params["gate_proj"]["weight"], None, qc("gate_proj"),
-        quantize_weights, node_name=nn("gate_proj"),
-    )
-    up = quantized_linear(
-        hidden, params["up_proj"]["weight"], None, qc("up_proj"),
-        quantize_weights, node_name=nn("up_proj"),
-    )
+    if "gate_up_proj" in params:
+        # fused packed projection (pack.py fuse=True); identical configs
+        node = params["gate_up_proj"]
+        gu = quantized_linear(
+            hidden, node["weight"], node.get("bias"), qc("gate_proj"),
+            quantize_weights,
+        )
+        gate = gu[..., : node["splits"][0]]
+        up = gu[..., node["splits"][0] :]
+    else:
+        gate = quantized_linear(
+            hidden, params["gate_proj"]["weight"], None, qc("gate_proj"),
+            quantize_weights, node_name=nn("gate_proj"),
+        )
+        up = quantized_linear(
+            hidden, params["up_proj"]["weight"], None, qc("up_proj"),
+            quantize_weights, node_name=nn("up_proj"),
+        )
     return quantized_linear(
         jax.nn.silu(gate) * up,
         params["down_proj"]["weight"],

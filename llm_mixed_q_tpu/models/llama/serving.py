@@ -282,19 +282,35 @@ def _attention_cached(
     # want the per-sequence view
     positions_b = jnp.broadcast_to(positions, (b,))
 
-    def proj(name, nheads):
-        out = quantized_linear(
-            hidden,
-            params[name]["weight"],
-            params[name].get("bias"),
-            qc(name),
-            quantize_weights,
-        )
+    def heads(out, nheads):
         return out.reshape(b, q_len, nheads, hd).transpose(0, 2, 1, 3)
 
-    q = proj("q_proj", nh)
-    k = proj("k_proj", nkv)
-    v = proj("v_proj", nkv)
+    if "qkv_proj" in params:
+        # fused packed projection (pack.py fuse=True): one kernel launch,
+        # one weight stream, one activation quantize per layer
+        node = params["qkv_proj"]
+        fused = quantized_linear(
+            hidden, node["weight"], node.get("bias"), qc("q_proj"),
+            quantize_weights,
+        )
+        nq, nk, _ = node["splits"]
+        q = heads(fused[..., :nq], nh)
+        k = heads(fused[..., nq : nq + nk], nkv)
+        v = heads(fused[..., nq + nk :], nkv)
+    else:
+        def proj(name, nheads):
+            out = quantized_linear(
+                hidden,
+                params[name]["weight"],
+                params[name].get("bias"),
+                qc(name),
+                quantize_weights,
+            )
+            return heads(out, nheads)
+
+        q = proj("q_proj", nh)
+        k = proj("k_proj", nkv)
+        v = proj("v_proj", nkv)
 
     pos_ids = positions_b[:, None].astype(jnp.int32)  # [b, 1] per-sequence
     q, k = quantized_apply_rotary_pos_emb(

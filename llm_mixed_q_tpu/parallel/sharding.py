@@ -29,6 +29,10 @@ from jax.tree_util import tree_map_with_path
 
 COLUMN_PARALLEL = (
     "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",  # llama
+    # fused packed projections (pack.py fuse=True). Sharding the concat
+    # out-dim is *correct* under XLA SPMD (the static split slices reshard),
+    # but head locality is lost — prefer fuse=False when TP-sharding.
+    "qkv_proj", "gate_up_proj",
     "fc1",  # opt
     "query", "key", "value", "intermediate",  # bert
     "embed_tokens", "lm_head", "score", "classifier",

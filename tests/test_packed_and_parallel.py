@@ -59,14 +59,15 @@ def test_param_specs_cover_tree():
     down = specs["layers"][0]["mlp"]["down_proj"]["weight"]
     assert down == P(None, "model")
     # packed params produce specs for codes AND scales
-    packed = pack_llama_params(params, config, subbyte=False)
+    # fuse=False: per-node specs (fused qkv/gate_up are single-chip only)
+    packed = pack_llama_params(params, config, subbyte=False, fuse=False)
     pspecs = param_specs(packed)
     node = pspecs["layers"][0]["self_attn"]["q_proj"]["weight"]
     assert node.codes == P("model", None)
     assert node.scales == P("model", None)
     # sub-byte packed: col-parallel shards out-features (words axis 0,
     # scales axis 1); row-parallel replicates (K split must not break tiles)
-    packed_sub = pack_llama_params(params, config, subbyte=True)
+    packed_sub = pack_llama_params(params, config, subbyte=True, fuse=False)
     sspecs = param_specs(packed_sub)
     from llm_mixed_q_tpu.kernels import PackedBFPSub
 
