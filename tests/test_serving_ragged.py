@@ -159,3 +159,23 @@ def test_continuous_batcher_eos(setup):
     toks = done[rid]
     assert toks[-1] == eos and len(toks) <= 8
     np.testing.assert_array_equal(np.asarray(toks), ref[: len(toks)])
+
+
+def test_continuous_batcher_packed_matches_fake(setup):
+    """Packed-cache batching (VERDICT r2 weak #4) must reproduce the
+    f32 fake-quant-cache batcher token-for-token (same quantized values,
+    different storage)."""
+    config, params = setup
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(2, 96, size=L) for L in (4, 9, 6)]
+    outs = {}
+    for packed in (True, False):
+        srv = ContinuousBatcher(
+            params, config, num_slots=2, max_len=48, max_new_tokens=5,
+            packed_kv=packed,
+        )
+        rids = [srv.submit(p) for p in prompts]
+        outs[packed] = [srv.run()[r] for r in rids]
+    assert srv._spec is None  # packed_kv=False really used the f32 cache
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
