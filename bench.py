@@ -90,9 +90,13 @@ def log(msg):
 
 def stage_kernel(on_tpu):
     """Fused dequant-matmul kernel microbench at the decode shape (M=8,
-    N=K=4096 — a 7B q/k/v/o projection). Chains ITERS dependent calls in one
-    jitted scan (tanh feedback defeats dedup; one scalar fetch at the end),
-    so tunnel RTT is paid once, not per call."""
+    N=K=4096 — a 7B q/k/v/o projection), under TRUE WEIGHT ROTATION:
+    NROT distinct weights cycle per iteration so nothing stays
+    VMEM/cache-resident and every variant is measured streaming-vs-
+    streaming (VERDICT r2 weak #3 — the round-2 fp32/bf16 "baselines"
+    reused ONE weight and reported >chip-peak GB/s). Iteration count is a
+    runtime fori_loop bound: one compile per variant; slope timing between
+    two counts cancels the tunnel RTT."""
     from llm_mixed_q_tpu.kernels.dequant_matmul import bfp_matmul
     from llm_mixed_q_tpu.kernels.packing import (
         pack_block_fp,
@@ -100,72 +104,81 @@ def stage_kernel(on_tpu):
         packed_nbytes,
     )
 
-    n = k = 4096
+    # CPU path (interpret-mode Pallas) is a smoke test only: tiny shapes
+    n = k = 4096 if on_tpu else 256
     m = 8
-    iters = 50 if on_tpu else 2
+    nrot = 4 if on_tpu else 2
+    # hi-lo slope needs enough iterations that the per-iter time dwarfs
+    # tunnel RTT jitter: 12 iters gave a NEGATIVE fp32 slope (~3ms total
+    # work vs ~ms RTT noise); 40x4 matmuls puts every variant >10ms
+    iters = 40 if on_tpu else 2
     rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.float32)
+    ws = [
+        jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.float32)
+        for _ in range(nrot)
+    ]
     x0 = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
 
-    def chain(packed_or_w, fn):
+    def probe(weights, call):
         @jax.jit
-        def run(arg, x0, n):
-            # arg MUST be the jit argument: closing over the weight bakes it
-            # into the program as a constant, which measured ~10x slow (the
-            # round-2 "37 GB/s" artifact — same bug class as round-1's
-            # params capture; see tools/kprobe.py for the clean harness).
-            # n is a runtime fori_loop bound: ONE compile per variant.
+        def run(ws_, x, it):
             def body(_, x):
-                return jnp.tanh(fn(x, arg)[:, :k])
+                for w_ in ws_:
+                    # tanh feedback defeats dedup; [:, :k] re-shapes N->K
+                    x = jnp.tanh(call(x, w_)[:, :k])
+                return x
 
-            return lax.fori_loop(0, n, body, x0).sum()
+            return lax.fori_loop(0, it, body, x).sum()
 
-        float(run(packed_or_w, x0, 1))  # compile + warmup
+        float(run(weights, x0, 1))  # compile + warmup
 
-        def t_at(n):
+        def t_at(it):
             t0 = time.perf_counter()
-            float(run(packed_or_w, x0, n))
+            float(run(weights, x0, it))
             return time.perf_counter() - t0
 
         t_at(2)
-        lo, hi = 2, iters
-        return (min(t_at(hi), t_at(hi)) - min(t_at(lo), t_at(lo))) / (hi - lo)
+        lo, hi = max(iters // 10, 1), iters
+        return (min(t_at(hi), t_at(hi)) - min(t_at(lo), t_at(lo))) / (
+            (hi - lo) * nrot
+        )
 
     kind, (tflops_peak, gbs_peak) = chip_peaks()
-    out = {"device_kind": kind, "hbm_peak_gbs": gbs_peak, "shape": [m, n, k]}
+    out = {
+        "device_kind": kind,
+        "hbm_peak_gbs": gbs_peak,
+        "shape": [m, n, k],
+        "weight_rotation": nrot,
+    }
 
-    sub = pack_block_fp_subbyte(w, 6, 8, 127, [1, 16])
-    t_sub = chain(sub, lambda x, p: bfp_matmul(x, p, use_pallas=on_tpu,
-                                               interpret=not on_tpu))
-    sub_bytes = packed_nbytes(sub)
-    out["subbyte_w6_us"] = round(t_sub * 1e6, 2)
-    out["subbyte_w6_weight_gbs"] = round(sub_bytes / t_sub / 1e9, 1)
-    out["subbyte_w6_hbm_util"] = round(sub_bytes / t_sub / 1e9 / gbs_peak, 3)
+    def record(name, t, nbytes):
+        out[f"{name}_us"] = round(t * 1e6, 2)
+        out[f"{name}_weight_gbs"] = round(nbytes / t / 1e9, 1)
+        out[f"{name}_hbm_util"] = round(nbytes / t / 1e9 / gbs_peak, 3)
 
+    subs = [pack_block_fp_subbyte(w, 6, 8, 127, [1, 16]) for w in ws]
+    t_sub = probe(subs, lambda x, p: bfp_matmul(x, p, use_pallas=on_tpu,
+                                                interpret=not on_tpu))
+    record("subbyte_w6", t_sub, packed_nbytes(subs[0]))
+    del subs
+
+    t_8 = None
     if on_tpu:
-        p8 = pack_block_fp(w, 6, 8, 127, [1, 16])
-        t_8 = chain(p8, lambda x, p: bfp_matmul(x, p, use_pallas=True))
-        b8 = packed_nbytes(p8)
-        out["int8_us"] = round(t_8 * 1e6, 2)
-        out["int8_weight_gbs"] = round(b8 / t_8 / 1e9, 1)
-        out["int8_hbm_util"] = round(b8 / t_8 / 1e9 / gbs_peak, 3)
+        p8s = [pack_block_fp(w, 6, 8, 127, [1, 16]) for w in ws]
+        t_8 = probe(p8s, lambda x, p: bfp_matmul(x, p, use_pallas=True))
+        record("int8", t_8, packed_nbytes(p8s[0]))
+        del p8s
 
-        # fp32 weight-streaming baseline: what the reference's is_ptq serve
-        # mode moves per decode matmul
         def f32mm(x, w):
             return jax.lax.dot_general(
                 x, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        t_f32 = chain(w, f32mm)
-        out["fp32_us"] = round(t_f32 * 1e6, 2)
-        out["fp32_weight_gbs"] = round(4 * n * k / t_f32 / 1e9, 1)
-        out["kernel_speedup_vs_fp32_stream"] = round(t_f32 / t_sub, 2)
+        t_f32 = probe(ws, f32mm)
+        record("fp32", t_f32, 4 * n * k)
 
-        # chip speed-of-light reference: XLA bf16 dot streams ~HBM peak
-        # (tools/kprobe.py: 778 GB/s of 819 on v5e)
-        wb = w.astype(jnp.bfloat16)
+        wbs = [w.astype(jnp.bfloat16) for w in ws]
 
         def bf16mm(x, w):
             return jax.lax.dot_general(
@@ -173,15 +186,20 @@ def stage_kernel(on_tpu):
                 preferred_element_type=jnp.float32,
             )
 
-        t_bf16 = chain(wb, bf16mm)
-        out["bf16_us"] = round(t_bf16 * 1e6, 2)
-        out["bf16_weight_gbs"] = round(2 * n * k / t_bf16 / 1e9, 1)
-        # the packed win that matters: absolute time per decode matmul vs
-        # the best dense alternative on the same chip
-        out["kernel_speedup_vs_bf16_resident"] = round(t_bf16 / t_sub, 2)
+        t_bf16 = probe(wbs, bf16mm)
+        record("bf16", t_bf16, 2 * n * k)
+        del wbs
+
+        # the shipped default weight format is int8 codes (pack.py) —
+        # speedups are quoted for it; sub-byte trades ~25% speed for
+        # 2.5x capacity (see *_us above)
+        out["kernel_speedup_vs_fp32_stream"] = round(t_f32 / t_8, 2)
+        out["kernel_speedup_vs_bf16_stream"] = round(t_bf16 / t_8, 2)
 
     RESULT["extra"]["kernel"] = out
-    RESULT["extra"]["hbm_bw_util"] = out["subbyte_w6_hbm_util"]
+    RESULT["extra"]["hbm_bw_util"] = out.get(
+        "int8_hbm_util", out["subbyte_w6_hbm_util"]
+    )
     log(f"kernel stage: {out}")
 
 
@@ -372,12 +390,15 @@ def stage_decode_1b(on_tpu):
     fcache = init_kv_cache(config, batch, max_len)
     run_f = make_decode_run(config, False)
     dec_fake = bench_decode(run_f, ptq_params, fcache, batch, steps, reps)
-    del ptq_params
+    del ptq_params, fcache
     RESULT["extra"]["decode_1b_tok_s_fake_quant"] = round(dec_fake, 1)
     RESULT["vs_baseline"] = round(dec_packed / dec_fake, 3)
     emit("decode1b")
     log(f"1B fake decode: {dec_fake:.1f} tok/s; speedup {dec_packed/dec_fake:.2f}x")
-    return config, params, packed_params
+    # free ALL 1B device buffers before the 7B stage (packed 7B is ~5.6GB
+    # of a 16GB chip); prefill re-packs from the host params later
+    del packed_params, pcache
+    return config, params
 
 
 def stage_decode_7b(on_tpu):
@@ -445,10 +466,11 @@ def stage_decode_7b(on_tpu):
         f"{ach/gbs_peak:.0%} of HBM peak)")
 
 
-def stage_prefill_1b(config, params, packed_params, on_tpu):
-    from llm_mixed_q_tpu.models import get_ptq_preparer
+def stage_prefill_1b(config, params, on_tpu):
     from llm_mixed_q_tpu.models.llama import llama_for_causal_lm
 
+    packed_params = jax.device_put(pack_host(params, config))
+    jax.block_until_ready(packed_params)
     batch, seq = (4, 1024) if on_tpu else (2, 128)
     iters = 8 if on_tpu else 1
     rng = np.random.default_rng(0)
@@ -492,54 +514,116 @@ def stage_prefill_1b(config, params, packed_params, on_tpu):
     log(f"prefill packed {batch*seq/t_packed:.0f} vs fake {batch*seq/t_fake:.0f} tok/s")
 
 
+def stage_cbatch(on_tpu):
+    """Continuous-batching throughput under rolling admission (packed KV
+    cache + fused attention kernel) vs offline batched generation of the
+    same requests (VERDICT r2 weak #4: the batcher's throughput was never
+    benchmarked). The batcher inherently syncs per step (admission is a
+    host decision), so this also prices the tunnel RTT the on-device
+    offline loop avoids."""
+    from __graft_entry__ import BFP6
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama.serving import (
+        ContinuousBatcher,
+        generate,
+    )
+
+    if on_tpu:
+        hidden, inter, layers, vocab = 2048, 5632, 8, 32000
+        num_slots, max_len, new_toks, nreq = 8, 256, 32, 16
+    else:
+        hidden, inter, layers, vocab = 256, 704, 2, 512
+        num_slots, max_len, new_toks, nreq = 2, 48, 4, 4
+
+    config = llama_cfg(hidden, inter, layers, vocab, BFP6)
+    params = jax.device_put(
+        pack_host(init_llama_params(config, task="lm", seed=0), config)
+    )
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(0)
+    lens = rng.integers(8, 32, size=nreq)
+    prompts = [rng.integers(2, vocab - 2, size=int(L)) for L in lens]
+
+    srv = ContinuousBatcher(
+        params, config, num_slots=num_slots, max_len=max_len,
+        quantize_weights=False, max_new_tokens=new_toks, prompt_bucket=32,
+    )
+    for p in prompts[:2]:  # warmup: compiles prefill/step/write_slot
+        srv.submit(p)
+    srv.run()
+    rids = [srv.submit(p) for p in prompts]
+    t0 = time.perf_counter()
+    done = srv.run()
+    t_cb = time.perf_counter() - t0
+    n_out = sum(len(done[r]) for r in rids)
+    cb_tok_s = n_out / t_cb
+
+    # offline comparison: same requests, groups of num_slots, ragged
+    # generate (prefill + on-device decode loop)
+    pad = max(len(p) for p in prompts)
+    t_off = 0.0
+    n_off = 0
+    for lo in range(0, nreq, num_slots):
+        grp = prompts[lo : lo + num_slots]
+        ids = np.zeros((len(grp), pad), np.int32)
+        mask = np.zeros((len(grp), pad), np.int32)
+        for i, p in enumerate(grp):
+            ids[i, : len(p)] = p
+            mask[i, : len(p)] = 1
+        if lo == 0:  # warmup/compile
+            generate(params, config, ids, mask, max_new_tokens=new_toks,
+                     max_len=max_len, quantize_weights=False)
+        t0 = time.perf_counter()
+        out = generate(params, config, ids, mask, max_new_tokens=new_toks,
+                       max_len=max_len, quantize_weights=False)
+        t_off += time.perf_counter() - t0
+        n_off += out.size
+    off_tok_s = n_off / t_off
+
+    RESULT["extra"]["cbatch_tok_s_rolling"] = round(cb_tok_s, 1)
+    RESULT["extra"]["cbatch_tok_s_offline"] = round(off_tok_s, 1)
+    RESULT["extra"]["cbatch_rolling_vs_offline"] = round(
+        cb_tok_s / off_tok_s, 3
+    )
+    log(f"cbatch rolling {cb_tok_s:.1f} vs offline {off_tok_s:.1f} tok/s")
+
+
 def main():
     on_tpu = jax.default_backend() != "cpu"
     kind, (tflops, gbs) = chip_peaks()
     RESULT["extra"]["device"] = kind
     log(f"backend={jax.default_backend()} device={kind} budget={BUDGET}s")
 
-    stage_kernel(on_tpu)
-    emit("kernel")
-
-    config, params, packed_params = stage_decode_1b(on_tpu)
-
-    if remaining() > 180 or not on_tpu:
-        try:
-            stage_prefill_1b(config, params, packed_params, on_tpu)
-        except Exception as e:
-            log(f"prefill stage failed: {e!r}")
-            RESULT["extra"]["prefill_error"] = repr(e)[:200]
-            emit("prefill_failed")
-    else:
-        log("skipping prefill stage (budget)")
-
-    # free every 1B buffer (device + host) before the 7B stage: 7B packed is
-    # ~5.6GB of a 16GB chip and the round-2 run OOMed with 1B still resident
-    del params, packed_params
     import gc
 
+    def stage(name, fn, min_s):
+        """Run a stage inside a budget guard + exception firewall."""
+        if remaining() < min_s and on_tpu:
+            log(f"skipping {name} stage (budget: {remaining():.0f}s left)")
+            RESULT["extra"][f"{name}_skipped"] = True
+            return
+        try:
+            fn()
+            emit(name)
+        except Exception as e:
+            log(f"{name} stage failed: {e!r}")
+            RESULT["extra"][f"{name}_error"] = repr(e)[:200]
+            emit(f"{name}_failed")
+        gc.collect()
+
+    # Order = value per second (VERDICT r2 weak #2: the Llama-7B tokens/s
+    # primary metric was sacrificed to secondary stages two rounds running —
+    # it now runs IMMEDIATELY after the 1B head-to-head).
+    config, params = stage_decode_1b(on_tpu)
     gc.collect()
 
-    if remaining() > 420 or not on_tpu:
-        try:
-            stage_decode_7b(on_tpu)
-        except Exception as e:  # OOM etc. — keep the 1B result
-            log(f"7B stage failed: {e!r}")
-            RESULT["extra"]["decode_7b_error"] = repr(e)[:200]
-            emit("decode7b_failed")
-    else:
-        log("skipping 7B stage (budget)")
-
-    if remaining() > 250 or not on_tpu:
-        try:
-            stage_longctx(on_tpu)
-            emit("longctx")
-        except Exception as e:
-            log(f"longctx stage failed: {e!r}")
-            RESULT["extra"]["longctx_error"] = repr(e)[:200]
-            emit("longctx_failed")
-    else:
-        log("skipping longctx stage (budget)")
+    stage("decode7b", lambda: stage_decode_7b(on_tpu), 90)
+    stage("kernel", lambda: stage_kernel(on_tpu), 150)
+    stage("cbatch", lambda: stage_cbatch(on_tpu), 150)
+    stage("prefill1b", lambda: stage_prefill_1b(config, params, on_tpu), 150)
+    del params
+    gc.collect()
+    stage("longctx", lambda: stage_longctx(on_tpu), 180)
 
     emit("done")
 

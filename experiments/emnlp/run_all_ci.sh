@@ -17,6 +17,7 @@ run () {
   fi
 }
 
+run "section 1 variance"      section_1_variance.py     --synthetic --save_dir "$OUT/sec1_variance"
 run "section 4.2 perplexity"  section_4_2_perplexity.py --synthetic --save_dir "$OUT/sec42_ppl"
 run "section 4.2 downstream"  section_4_2_downstream.py --synthetic --save_dir "$OUT/sec42_downstream"
 run "section 4.3 QAT"         section_4_3_qat.py        --synthetic --save_dir "$OUT/sec43_qat"

@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from .bert import (
     BertQuantizedConfig,
+    bert_for_masked_lm,
+    bert_for_multiple_choice,
+    bert_for_next_sentence_prediction,
+    bert_for_pretraining,
+    bert_for_question_answering,
     bert_for_sequence_classification,
+    bert_for_token_classification,
+    bert_lm_head_model,
     format_stat_profiled_int_config_bert_quantized,
     parse_bert_quantized_config,
     quantize_bert_params_ptq,
@@ -34,6 +41,7 @@ from .opt import (
     OPTQuantizedConfig,
     format_stat_profiled_int_config_opt_quantized,
     opt_for_causal_lm,
+    opt_for_question_answering,
     opt_for_sequence_classification,
     parse_opt_quantized_config,
     quantize_opt_params_ptq,
@@ -45,9 +53,23 @@ from ..costmodel.models import (
 )
 
 MODEL_FN_MAP = {
-    "bert": {"cls": bert_for_sequence_classification},
+    "bert": {
+        "cls": bert_for_sequence_classification,
+        # reference modeling_bert.py:1226-2064 task heads
+        "mlm": bert_for_masked_lm,
+        "clm": bert_lm_head_model,
+        "nsp": bert_for_next_sentence_prediction,
+        "pretrain": bert_for_pretraining,
+        "mc": bert_for_multiple_choice,
+        "token": bert_for_token_classification,
+        "qa": bert_for_question_answering,
+    },
     "llama": {"cls": llama_for_sequence_classification, "lm": llama_for_causal_lm},
-    "opt": {"cls": opt_for_sequence_classification, "lm": opt_for_causal_lm},
+    "opt": {
+        "cls": opt_for_sequence_classification,
+        "lm": opt_for_causal_lm,
+        "qa": opt_for_question_answering,
+    },
 }
 
 CONFIG_MAP = {

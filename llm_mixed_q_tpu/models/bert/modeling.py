@@ -166,6 +166,171 @@ def bert_model(
     return hidden, pooled
 
 
+def _token_ce_loss(logits, labels, ignore_index=-100):
+    """Mean CE over labels != ignore_index (HF convention)."""
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    safe = jnp.where(labels == ignore_index, 0, labels)
+    ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+    keep = (labels != ignore_index).astype(jnp.float32)
+    return -jnp.sum(ll * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+
+
+def _mlm_logits(params, hidden, config):
+    """BertLMPredictionHead: dense + gelu + LayerNorm transform, decoder
+    tied to the word embeddings + an output bias (reference
+    modeling_bert.py:1226-1270)."""
+    t = params["cls"]["transform"]
+    h = hidden @ t["dense"]["weight"].T + t["dense"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = layer_norm(
+        h, t["LayerNorm"]["weight"], t["LayerNorm"]["bias"],
+        config.layer_norm_eps,
+    )
+    dec_w = params["cls"].get("decoder", {}).get(
+        "weight", params["embeddings"]["word_embeddings"]["weight"]
+    )
+    return h @ dec_w.T + params["cls"]["bias"]
+
+
+def bert_for_masked_lm(
+    params, input_ids, attention_mask=None, token_type_ids=None, labels=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Reference BertForMaskedLM (modeling_bert.py:1441-1528)."""
+    hidden, _ = bert_model(
+        params, input_ids, attention_mask, token_type_ids, config,
+        quantize_weights,
+    )
+    logits = _mlm_logits(params, hidden, config)
+    out = {"logits": logits}
+    if labels is not None:
+        out["loss"] = _token_ce_loss(logits, labels)
+    return out
+
+
+def bert_lm_head_model(
+    params, input_ids, attention_mask=None, token_type_ids=None, labels=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Causal-LM-style head: MLM head with SHIFTED labels (reference
+    BertLMHeadModel, modeling_bert.py:1331-1438)."""
+    hidden, _ = bert_model(
+        params, input_ids, attention_mask, token_type_ids, config,
+        quantize_weights,
+    )
+    logits = _mlm_logits(params, hidden, config)
+    out = {"logits": logits}
+    if labels is not None:
+        out["loss"] = _token_ce_loss(logits[:, :-1], labels[:, 1:])
+    return out
+
+
+def bert_for_next_sentence_prediction(
+    params, input_ids, attention_mask=None, token_type_ids=None, labels=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Reference BertForNextSentencePrediction (modeling_bert.py:1645-1744)."""
+    _, pooled = bert_model(
+        params, input_ids, attention_mask, token_type_ids, config,
+        quantize_weights,
+    )
+    sr = params["cls"]["seq_relationship"]
+    logits = pooled @ sr["weight"].T + sr["bias"]
+    out = {"logits": logits}
+    if labels is not None:
+        out["loss"] = _token_ce_loss(logits, labels)
+    return out
+
+
+def bert_for_pretraining(
+    params, input_ids, attention_mask=None, token_type_ids=None, labels=None,
+    next_sentence_label=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Reference BertForPreTraining: MLM + NSP joint head
+    (modeling_bert.py:1274-1328 equivalent span)."""
+    hidden, pooled = bert_model(
+        params, input_ids, attention_mask, token_type_ids, config,
+        quantize_weights,
+    )
+    mlm_logits = _mlm_logits(params, hidden, config)
+    sr = params["cls"]["seq_relationship"]
+    nsp_logits = pooled @ sr["weight"].T + sr["bias"]
+    out = {"prediction_logits": mlm_logits, "seq_relationship_logits": nsp_logits}
+    if labels is not None and next_sentence_label is not None:
+        out["loss"] = _token_ce_loss(mlm_logits, labels) + _token_ce_loss(
+            nsp_logits, next_sentence_label
+        )
+    return out
+
+
+def bert_for_multiple_choice(
+    params, input_ids, attention_mask=None, token_type_ids=None, labels=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Reference BertForMultipleChoice (modeling_bert.py:1845-1951):
+    input [b, n_choices, s] flattened through the encoder, pooled output
+    scored by a 1-logit classifier, softmax over choices."""
+    b, n, s = input_ids.shape
+    flat = lambda x: None if x is None else x.reshape(b * n, s)
+    _, pooled = bert_model(
+        params, flat(input_ids), flat(attention_mask), flat(token_type_ids),
+        config, quantize_weights,
+    )
+    logits = (
+        pooled @ params["classifier"]["weight"].T
+        + params["classifier"]["bias"]
+    ).reshape(b, n)
+    out = {"logits": logits}
+    if labels is not None:
+        out["loss"] = _token_ce_loss(logits, labels)
+    return out
+
+
+def bert_for_token_classification(
+    params, input_ids, attention_mask=None, token_type_ids=None, labels=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Reference BertForTokenClassification (modeling_bert.py:1954-2020)."""
+    hidden, _ = bert_model(
+        params, input_ids, attention_mask, token_type_ids, config,
+        quantize_weights,
+    )
+    logits = (
+        hidden @ params["classifier"]["weight"].T
+        + params["classifier"]["bias"]
+    )
+    out = {"logits": logits}
+    if labels is not None:
+        out["loss"] = _token_ce_loss(logits, labels)
+    return out
+
+
+def bert_for_question_answering(
+    params, input_ids, attention_mask=None, token_type_ids=None,
+    start_positions=None, end_positions=None,
+    config: BertQuantizedConfig = None, quantize_weights: bool = True,
+):
+    """Reference BertForQuestionAnswering (modeling_bert.py:2023-2064):
+    span start/end logits from a 2-output dense over sequence states."""
+    hidden, _ = bert_model(
+        params, input_ids, attention_mask, token_type_ids, config,
+        quantize_weights,
+    )
+    logits = (
+        hidden @ params["qa_outputs"]["weight"].T
+        + params["qa_outputs"]["bias"]
+    )
+    start_logits, end_logits = logits[..., 0], logits[..., 1]
+    out = {"start_logits": start_logits, "end_logits": end_logits}
+    if start_positions is not None and end_positions is not None:
+        out["loss"] = 0.5 * (
+            _token_ce_loss(start_logits, start_positions)
+            + _token_ce_loss(end_logits, end_positions)
+        )
+    return out
+
+
 def bert_for_sequence_classification(
     params,
     input_ids,

@@ -233,6 +233,21 @@ def init_bert_params(config, task: str = "cls", seed: int = 0) -> dict:
     }
     if task == "cls":
         params["classifier"] = lin(config.num_labels, h)
+    elif task in ("mlm", "clm", "pretrain", "nsp"):
+        # BertLMPredictionHead: transform + tied decoder + bias
+        cls = {
+            "transform": {"dense": lin(h, h), "LayerNorm": ln(h)},
+            "bias": np.zeros(v, np.float32),
+        }
+        if task in ("pretrain", "nsp"):
+            cls["seq_relationship"] = lin(2, h)
+        params["cls"] = cls
+    elif task == "qa":
+        params["qa_outputs"] = lin(2, h)
+    elif task == "token":
+        params["classifier"] = lin(config.num_labels, h)
+    elif task == "mc":
+        params["classifier"] = lin(1, h)
     return params
 
 

@@ -604,6 +604,21 @@ def _decode_loop(
     return tokens
 
 
+# jit closures are cached per (config identity, static options): a fresh
+# lambda/partial per generate() call would miss jax's jit cache and re-trace
+# every call — fatal for repeated-call workloads (prompting eval, serving)
+_JIT_CACHE: dict = {}
+
+
+def _cached_jit(key, config, make):
+    entry = _JIT_CACHE.get(key)
+    if entry is not None and entry[0] is config:
+        return entry[1]
+    fn = make()
+    _JIT_CACHE[key] = (config, fn)  # strong config ref pins id(config)
+    return fn
+
+
 def _sample_fn(temperature: float, top_k: int):
     """logits [b, V], key -> tokens [b]. temperature 0 = greedy."""
     if temperature <= 0.0:
@@ -665,9 +680,15 @@ def generate(
     else:
         cache = init_kv_cache(config, b, max_len)
 
-    prefill = jax.jit(
-        lambda p, i, m, c: prefill_into_cache(p, i, m, c, config, quantize_weights),
-        donate_argnums=(3,),
+    prefill = _cached_jit(
+        ("prefill", id(config), quantize_weights),
+        config,
+        lambda: jax.jit(
+            lambda p, i, m, c: prefill_into_cache(
+                p, i, m, c, config, quantize_weights
+            ),
+            donate_argnums=(3,),
+        ),
     )
     key = jax.random.PRNGKey(seed)
 
@@ -677,19 +698,24 @@ def generate(
     # a host-side static decision (one sync after prefill, before the loop).
     lens_np = np.asarray(lengths)
     uniform = bool((lens_np == lens_np[0]).all())
-    loop = jax.jit(
-        partial(
-            _decode_loop,
-            config=config,
-            quantize_weights=quantize_weights,
-            attn_kernel=attn_kernel,
-            max_new_tokens=max_new_tokens,
-            eos_token_id=eos_token_id,
-            temperature=temperature,
-            top_k=top_k,
-            uniform=uniform,
+    loop = _cached_jit(
+        ("loop", id(config), quantize_weights, attn_kernel, max_new_tokens,
+         eos_token_id, temperature, top_k, uniform),
+        config,
+        lambda: jax.jit(
+            partial(
+                _decode_loop,
+                config=config,
+                quantize_weights=quantize_weights,
+                attn_kernel=attn_kernel,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=eos_token_id,
+                temperature=temperature,
+                top_k=top_k,
+                uniform=uniform,
+            ),
+            donate_argnums=(1,),  # cache updates in place inside the loop
         ),
-        donate_argnums=(1,),  # cache updates in place inside the loop
     )
     return np.asarray(loop(params, cache, logits, lengths, key))
 

@@ -6,6 +6,7 @@ from .modeling import (
     opt_model,
 )
 from .prepare import quantize_opt_params_ptq
+from .serving import generate as opt_generate, generate_greedy as opt_generate_greedy
 from .quant_config import (
     format_stat_profiled_int_config_opt_quantized,
     parse_opt_quantized_config,

@@ -12,6 +12,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 DRIVERS = Path(__file__).resolve().parent.parent / "experiments" / "emnlp"
 
 
@@ -71,3 +73,12 @@ def test_section_4_4_search(tmp_path):
     summary = json.loads((tmp_path / "search_summary.json").read_text())
     assert summary["n_trials"] == 3
     assert summary["pareto_size"] >= 1
+
+
+def test_section_1_variance(tmp_path):
+    _run("section_1_variance.py", tmp_path, ["--model_arch", "llama"])
+    out = json.loads((tmp_path / "variance_vs_depth.json").read_text())
+    layers = [row["layer"] for row in out["series"]]
+    assert layers == [0, 1]  # tiny synthetic llama has 2 layers
+    assert all(row["mean_data_in_variance"] > 0 for row in out["series"])
+    assert (tmp_path / "variance_vs_depth.csv").exists()

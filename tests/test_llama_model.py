@@ -8,6 +8,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from llm_mixed_q_tpu.models.api import make_forward, make_prefill_and_decode

@@ -8,6 +8,8 @@ saturation, and subnormals.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 import jax.numpy as jnp

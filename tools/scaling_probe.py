@@ -1,0 +1,256 @@
+"""Scaling evidence for the BASELINE ">=85% tokens/s scaling to 2 hosts"
+gate (VERDICT r2 missing #1): measures per-step wall time of the TP-sharded
+decode step and the QAT train step on the 2-process CPU harness at
+dcn=1 (one process, 4 devices) vs dcn=2 (two processes, 4+4 devices, the
+DCN axis = the process boundary), and reports WEAK-SCALING efficiency
+(same per-process work; efficiency = t_dcn1 / t_dcn2). Also inspects the
+compiled HLO of the TP decode for the collectives XLA inserted and whether
+they are async (start/done pairs that the latency-hiding scheduler can
+overlap with the dequant-matmul compute).
+
+CPU collectives go through shared memory, not a real DCN, so the absolute
+times are not host-interconnect numbers — but the efficiency ratio captures
+every framework-side cost of the 2-process path (collective scheduling,
+process-local batch assembly, cross-host psum), which is what is testable
+without a pod. Usage:
+    python tools/scaling_probe.py [--out SCALING.json]
+    python tools/scaling_probe.py --worker <pid> <port> <nproc> <outdir>
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MODEL = dict(
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=704,
+    num_hidden_layers=4,
+    num_attention_heads=4,
+    max_position_embeddings=128,
+)
+BATCH_PER_PROC = 4  # weak scaling: constant per-process batch
+STEPS = 8
+MAX_LEN = 64
+
+
+def _bfp6():
+    from __graft_entry__ import BFP6
+
+    return BFP6
+
+
+def worker(pid: int, port: str, nproc: int, outdir: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from llm_mixed_q_tpu.parallel.distributed import (
+        global_batch,
+        initialize,
+        make_hybrid_mesh,
+        process_allgather_scalar,
+    )
+
+    initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+        local_device_count=4,
+    )
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama import LlamaQuantizedConfig
+    from llm_mixed_q_tpu.models.llama.serving import (
+        decode_step,
+        init_kv_cache,
+        prefill_into_cache,
+    )
+    from llm_mixed_q_tpu.parallel import shard_params
+    from llm_mixed_q_tpu.train import make_qat_train_step
+
+    config = LlamaQuantizedConfig(**MODEL, quant_config=_bfp6())
+    mesh = make_hybrid_mesh(model=4)  # (dcn=nproc, data=1, model=4)
+    params = init_llama_params(config, task="lm", seed=0)
+    params = shard_params(params, mesh)
+
+    b_global = BATCH_PER_PROC * nproc
+    rng = np.random.default_rng(0)
+    ids_local = rng.integers(
+        2, MODEL["vocab_size"], size=(BATCH_PER_PROC, 16)
+    ).astype(np.int32)
+    gb = global_batch(
+        mesh, {"ids": ids_local, "mask": np.ones_like(ids_local)}
+    )
+    ids, mask = gb["ids"], gb["mask"]
+
+    out = {"nproc": nproc, "pid": pid}
+
+    # ---- TP decode step timing -------------------------------------------
+    cache = jax.device_put(
+        init_kv_cache(config, b_global, MAX_LEN),
+        NamedSharding(mesh, P(None, None, ("dcn", "data"))),
+    )
+    prefill = jax.jit(
+        lambda p, i, m, c: prefill_into_cache(p, i, m, c, config, False),
+        donate_argnums=(3,),
+    )
+    step = jax.jit(
+        lambda p, t, c, pos: decode_step(p, t, c, pos, config, False),
+        donate_argnums=(2,),
+    )
+    logits, cache, lengths = prefill(params, ids, mask, cache)
+    tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+    # warmup + compile
+    logits, cache = step(params, tok, cache, lengths)
+    jax.block_until_ready(logits)
+    t0 = time.perf_counter()
+    for t in range(STEPS):
+        logits, cache = step(params, tok, cache, lengths + 1 + t)
+    jax.block_until_ready(logits)
+    out["decode_step_ms"] = (time.perf_counter() - t0) / STEPS * 1e3
+
+    if pid == 0 and nproc == 1:
+        # compiled-HLO collective inventory for the TP (model-axis) decode —
+        # the all-gather/reduce-scatter the sharded matmuls insert
+        lowered = jax.jit(
+            lambda p, t, c, pos: decode_step(p, t, c, pos, config, False)
+        ).lower(params, tok, cache, lengths)
+        hlo = lowered.compile().as_text()
+        colls = {}
+        for op in ("all-gather", "all-reduce", "reduce-scatter",
+                   "collective-permute"):
+            colls[op] = hlo.count(f" {op}")
+            colls[op + "_async"] = hlo.count(f"{op}-start")
+        out["decode_hlo_collectives"] = colls
+
+    # ---- QAT train step timing -------------------------------------------
+    optimizer = optax.adamw(1e-4)
+    params2 = init_llama_params(config, task="lm", seed=0)
+    params2 = shard_params(params2, mesh)
+    opt_state = optimizer.init(params2)
+    qstep = make_qat_train_step("llama", "lm", config, optimizer, mesh)
+    tb = {
+        "input_ids": ids,
+        "attention_mask": mask,
+        "labels": ids,
+    }
+    params2, opt_state, loss = qstep(params2, opt_state, tb)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        params2, opt_state, loss = qstep(params2, opt_state, tb)
+    jax.block_until_ready(loss)
+    out["qat_step_ms"] = (time.perf_counter() - t0) / STEPS * 1e3
+    out["qat_loss"] = float(loss)
+
+    # cross-process agreement on the loss proves the DCN psum leg ran
+    losses = process_allgather_scalar(float(loss))
+    out["loss_agree"] = bool(np.allclose(losses, losses[0]))
+
+    if pid == 0:
+        with open(Path(outdir) / f"scaling_dcn{nproc}.json", "w") as f:
+            json.dump(out, f)
+    print(f"SCALEOK {pid} {out['decode_step_ms']:.2f} {out['qat_step_ms']:.2f}",
+          flush=True)
+
+
+def _free_port() -> str:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return str(port)
+
+
+def run_config(nproc: int, outdir: str):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(i), port, str(nproc),
+             outdir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out.decode())
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"worker failed (nproc={nproc}):\n" + logs[-1][-2000:]
+            )
+    assert all("SCALEOK" in l for l in logs), logs
+    with open(Path(outdir) / f"scaling_dcn{nproc}.json") as f:
+        return json.load(f)
+
+
+def main():
+    out_path = "SCALING.json"
+    for i, a in enumerate(sys.argv):
+        if a == "--out":
+            out_path = sys.argv[i + 1]
+    outdir = str(REPO / ".scaling_tmp")
+    Path(outdir).mkdir(exist_ok=True)
+    r1 = run_config(1, outdir)
+    print(f"dcn=1: decode {r1['decode_step_ms']:.2f} ms, "
+          f"qat {r1['qat_step_ms']:.2f} ms", flush=True)
+    r2 = run_config(2, outdir)
+    print(f"dcn=2: decode {r2['decode_step_ms']:.2f} ms, "
+          f"qat {r2['qat_step_ms']:.2f} ms", flush=True)
+    report = {
+        "protocol": (
+            "weak scaling on the 2-process CPU harness: constant "
+            f"per-process batch ({BATCH_PER_PROC}), (dcn, data, model=4) "
+            "hybrid mesh, DCN axis = process boundary; efficiency = "
+            "t(dcn=1)/t(dcn=2). CPU collectives are shared-memory, so this "
+            "captures framework+collective-scheduling overhead, not real "
+            "host-interconnect latency (no pod available)."
+        ),
+        "model": MODEL,
+        "dcn1": r1,
+        "dcn2": r2,
+        "decode_weak_scaling_efficiency": round(
+            r1["decode_step_ms"] / r2["decode_step_ms"], 3
+        ),
+        "qat_weak_scaling_efficiency": round(
+            r1["qat_step_ms"] / r2["qat_step_ms"], 3
+        ),
+        "decode_hlo_collectives": r1.get("decode_hlo_collectives"),
+        "loss_agree_across_processes": r2.get("loss_agree"),
+        "target": "BASELINE.md >=85% tokens/s scaling to 2 hosts",
+    }
+    report["pass"] = bool(
+        report["decode_weak_scaling_efficiency"] >= 0.85
+        and report["qat_weak_scaling_efficiency"] >= 0.85
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: report[k] for k in (
+        "decode_weak_scaling_efficiency", "qat_weak_scaling_efficiency",
+        "pass")}), flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5])
+    else:
+        main()
