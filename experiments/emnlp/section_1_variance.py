@@ -64,24 +64,34 @@ def main(argv=None):
     # reduce node-level variance to per-layer depth series
     per_layer: dict[int, list[float]] = {}
     node_table = {}
-    for name, entries in profile.items():
+    # profile keys are FLAT ``root:<node path>:<entry>`` names (the same
+    # convention as StatManager.finalize / the reference's stat TOMLs),
+    # mapping to {stat_name: {...}} — filter on the NAME, then read the stat.
+    for name, stats in profile.items():
         m = re.search(r"model_layer_(\d+)", name)
         if m is None:
             continue
         depth = int(m.group(1))
-        for entry, stats in entries.items():
-            if "variance_online" not in stats or "data_in" not in entry:
-                continue
-            var = stats["variance_online"]["variance"]
-            v = float(np.mean(var)) if not np.isscalar(var) else float(var)
-            per_layer.setdefault(depth, []).append(v)
-            node_table[f"{name}:{entry}"] = round(v, 6)
+        if "variance_online" not in stats or not name.endswith(":data_in"):
+            continue
+        var = stats["variance_online"]["variance"]
+        v = float(np.mean(var)) if not np.isscalar(var) else float(var)
+        per_layer.setdefault(depth, []).append(v)
+        node_table[name] = round(v, 6)
 
     series = [
         {"layer": d, "mean_data_in_variance": round(float(np.mean(vs)), 6),
          "max_data_in_variance": round(float(np.max(vs)), 6)}
         for d, vs in sorted(per_layer.items())
     ]
+    if not series:
+        # fail LOUDLY: an empty series means the profile key convention
+        # changed under us (exactly the round-3 regression) — exiting 0 with
+        # an empty artifact silently breaks run_all_ci.sh.
+        raise RuntimeError(
+            "empty variance series: no 'root:model_layer_<i>:...:data_in' "
+            f"keys with variance_online in profile ({len(profile)} keys)"
+        )
 
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)

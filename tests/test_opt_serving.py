@@ -20,6 +20,8 @@ from llm_mixed_q_tpu.models.opt.serving import generate, generate_greedy
 
 BFP6 = {
     "name": "block_fp",
+    "is_ptq": True,
+    "bypass": False,
     "weight_width": 6,
     "weight_exponent_width": 8,
     "weight_exponent_bias": None,
