@@ -169,15 +169,15 @@ def stage_kernel(on_tpu):
         record("int8", t_8, packed_nbytes(p8s[0]))
         del p8s
 
-        def f32mm(x, w):
-            return jax.lax.dot_general(
-                x, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        t_f32 = probe(ws, f32mm)
-        record("fp32", t_f32, 4 * n * k)
-
+        # NOTE: no fp32 "stream" baseline. Rounds 2-3 reported one, and it
+        # measured >3x HBM peak both times: XLA's default TPU matmul
+        # converts f32 operands to bf16, and the conversion of a rotated
+        # weight is loop-invariant — hoisted out of the timing loop, so the
+        # loop streamed cached bf16 copies, not the fp32 arrays. Rather than
+        # fight the compiler into a non-physical configuration, the dense
+        # baseline here is the bf16 stream (what XLA actually does with
+        # dense weights); the fp32 reference-model comparison lives at the
+        # MODEL level (decode_1b packed vs fake-quant is_ptq).
         wbs = [w.astype(jnp.bfloat16) for w in ws]
 
         def bf16mm(x, w):
@@ -190,10 +190,6 @@ def stage_kernel(on_tpu):
         record("bf16", t_bf16, 2 * n * k)
         del wbs
 
-        # the shipped default weight format is int8 codes (pack.py) —
-        # speedups are quoted for it; sub-byte trades ~25% speed for
-        # 2.5x capacity (see *_us above)
-        out["kernel_speedup_vs_fp32_stream"] = round(t_f32 / t_8, 2)
         out["kernel_speedup_vs_bf16_stream"] = round(t_bf16 / t_8, 2)
 
     RESULT["extra"]["kernel"] = out
@@ -343,12 +339,15 @@ def llama_cfg(hidden, inter, layers, vocab, quant):
     )
 
 
-def pack_host(params, config):
+def pack_host(params, config, subbyte=False):
     """Pack on the HOST (native C++ engine; JAX-CPU fallback) so only the
-    packed buffers (~1/5 the bytes) cross the device tunnel."""
+    packed buffers (~1/5 the bytes) cross the device tunnel. bf16_embed:
+    the serving configuration (bf16 embedding/logits tables — halves the
+    lm_head stream; deviation quantified by quality.py)."""
     from llm_mixed_q_tpu.models.llama.pack import pack_llama_params_host
 
-    return pack_llama_params_host(params, config)
+    return pack_llama_params_host(params, config, subbyte=subbyte,
+                                  bf16_embed=True)
 
 
 def stage_decode_1b(on_tpu):
@@ -446,7 +445,7 @@ def stage_decode_7b(on_tpu):
     ):
         if isinstance(leaf, (PackedBFP, PackedBFPSub)):
             wbytes += packed_nbytes(leaf)
-    lm_head = 4 * vocab * hidden  # fp32 logits matmul stream
+    lm_head = 2 * vocab * hidden  # bf16 logits matmul stream (bf16_embed)
     kv = 2 * layers * batch * (hidden // 128) * 0  # position-dependent; ≲60MB
     step_bytes = wbytes + lm_head + kv
     kind, (_, gbs_peak) = chip_peaks()

@@ -41,6 +41,18 @@ def cli_eval_cls_glue(argv=None):
         is_regression=is_regression_task(args.task),
         num_samples=args.num_samples,
     )
+    if args.task == "mnli":
+        # matched + mismatched, like the reference's final-eval mnli-mm pass
+        # (reference train_fsdp.py:627-647)
+        mm = eval_cls_glue(
+            fwd,
+            params,
+            args.task,
+            _glue_loader(args, tokenizer, split="validation_mismatched"),
+            is_regression=False,
+            num_samples=args.num_samples,
+        )
+        results.update({f"{k}_mm": v for k, v in mm.items()})
     save_results(args, results, "eval_cls")
     return results
 

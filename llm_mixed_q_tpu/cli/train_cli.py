@@ -46,13 +46,26 @@ def _train(args, fsdp: bool):
     eval_fwd = make_forward(args.model_arch, "cls", config, quantize_weights=True)
 
     def eval_fn(p):
-        return eval_cls_glue(
+        out = eval_cls_glue(
             eval_fwd,
             p,
             args.task,
             eval_loader_factory(),
             is_regression=is_regression_task(args.task),
         )
+        if args.task == "mnli":
+            # mismatched split too (reference train_fsdp.py:627-647)
+            mm = eval_cls_glue(
+                eval_fwd,
+                p,
+                args.task,
+                numpy_dataloader(
+                    ds["validation_mismatched"], batch_size=args.batch_size
+                ),
+                is_regression=False,
+            )
+            out.update({f"{k}_mm": v for k, v in mm.items()})
+        return out
 
     n_dev = len(jax.devices())
     mesh = make_mesh(data=n_dev, model=1) if n_dev > 1 else None

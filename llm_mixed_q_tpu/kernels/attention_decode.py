@@ -125,6 +125,196 @@ def _quantize_probs_lanes(p, bs: int, width: int, exponent_width: int,
     return jnp.where(p <= _ATOL, p, q)
 
 
+def _quantize_probs_strided(p, bs: int, width: int, exponent_width: int,
+                            exponent_bias, stride: int, s_len: int,
+                            interpret: bool):
+    """block_fp qdq of probs p [rows, s_len*stride] laid out POS-MAJOR
+    (lane = kv_pos * stride + head): a [1, bs] block covers bs consecutive
+    kv positions of ONE head, i.e. lanes {(16*b0 + t)*stride + g}. The XOR
+    butterfly therefore rolls by s*stride — partners share the head and the
+    aligned bs-block. stride=1 reduces to ``_quantize_probs_lanes``."""
+    if exponent_bias in (None, "none", "None"):
+        exponent_bias = 2 ** (exponent_width - 1) - 1
+    mantissa_bits = width - 1
+    shift = float(2**mantissa_bits)
+    mantissa_max = float(2**mantissa_bits - 1)
+    emax = float(2**exponent_width - 1 - exponent_bias)
+    emin = float(-exponent_bias)
+
+    pm = p
+    lane = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    pos = lane // stride
+    s = 1
+    # bs >= s_len collapses to a per-head max over the whole sequence —
+    # the butterfly reaches it after log2(s_len) steps
+    while s < min(bs, s_len):
+        high = (pos // s) % 2 == 1
+        partner = jnp.where(
+            high,
+            _roll_lanes(pm, s * stride, interpret),
+            _roll_lanes(pm, -s * stride, interpret),
+        )
+        pm = jnp.maximum(pm, partner)
+        s *= 2
+
+    exponent = jnp.clip(jnp.ceil(jnp.log2(pm)), emin, emax)
+    two_e = _exp2_exact(exponent)
+    mant = jnp.clip(jnp.round((p + 1e-9) / two_e * shift), 0.0, mantissa_max)
+    q = two_e * (mant / shift)
+    return jnp.where(p <= _ATOL, p, q)
+
+
+def _attn_kernel_batch(pos_ref, q_ref, kct_ref, kst_ref, vc_ref, vs_ref,
+                       o_ref, *, bs_k: int, bs_v: int, sqrt_hd: float,
+                       prob_q, nkv: int, rep: int, nh: int, s_len: int,
+                       dt, interpret: bool):
+    """ALL heads of one batch element in one program (grid (b,)).
+
+    The r3 kernel ran one grid cell per (batch, kv head) — 256 cells at 7B
+    decode shapes, each doing a [8, hd] x [hd, S] matmul: per-cell fixed
+    cost dominated (measured ~446us/layer vs ~30us of data, tools/dprobe7).
+    Here the caches are POS-MAJOR (lane = kv_pos * nkv + head) and the
+    whole batch element is two big MXU ops: scores = Q [nh, hd] x
+    Kall [hd, S*nkv] computes every (q-head, kv-head) pair, the mask keeps
+    the diagonal blocks (lane % nkv == row // rep), and after softmax the
+    off-diagonal probs are exactly 0 so ctx = P [nh, S*nkv] x
+    Vall [S*nkv, hd] contracts each head against its own V only. The
+    wasted off-diagonal FLOPs are trivial next to the removed per-cell
+    overhead; HBM traffic is unchanged (codes + scales once).
+
+    ``dt`` is the dot dtype: bfloat16 whenever every operand is bf16-exact
+    (codes <= 8 bits x power-of-2 scales; q and probs block_fp-quantized
+    with <= 8 mantissa bits) — products are then exact and only f32
+    accumulation order can differ from the XLA path; f32 otherwise."""
+    pos = pos_ref[pl.program_id(0)]
+
+    kexp = _expand_scales_sublane(kst_ref[0], bs_k).astype(dt)  # [hd, L]
+    kd = kct_ref[0].astype(dt) * kexp
+    q = q_ref[0].astype(dt)  # [nh_p, hd]
+    st = jax.lax.dot_general(
+        q, kd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / sqrt_hd  # [nh_p, S*nkv] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+    valid = (
+        (lane // nkv <= pos)
+        & (lane % nkv == row // rep)
+        & (row < nh)
+    )
+    st = jnp.where(valid, st, NEG_INF)
+    m = jnp.max(st, axis=1, keepdims=True)
+    e = jnp.exp(st - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)  # [nh_p, L] f32
+    if prob_q is not None:
+        p = _quantize_probs_strided(p, *prob_q, stride=nkv, s_len=s_len,
+                                    interpret=interpret)
+
+    vd = vc_ref[0].astype(dt) * _expand_scales(
+        vs_ref[0], bs_v, 0
+    ).astype(dt)  # [L, hd]
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(dt), vd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [nh_p, hd]
+
+
+# lane budget for the batch-folded kernel: S*nkv lanes of bf16 K/V dequant
+# (2 x 2 bytes x hd sublanes) + f32 score/prob rows must fit VMEM with
+# double buffering; 8192 lanes x 128 hd ~= 10MB peak. Longer caches fall
+# back to the per-(b, head) kernel below.
+BATCH_KERNEL_MAX_LANES = 8192
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bs_k", "bs_v", "rep", "prob_q", "exact_q", "interpret"),
+)
+def packed_attention_decode_batch(
+    q: jax.Array,  # [b, nh, hd] f32 (RoPE'd, data_in-quantized; rows grouped by kv head)
+    k_codes: jax.Array,  # [b, hd, S, nkv] int8 (POS-MAJOR)
+    k_scales: jax.Array,  # [b, hd // bs_k, S, nkv] f32
+    v_codes: jax.Array,  # [b, S, nkv, hd] int8
+    v_scales: jax.Array,  # [b, S, nkv, hd // bs_v] f32
+    positions: jax.Array,  # [b] int32: last valid cache index (inclusive)
+    bs_k: int,
+    bs_v: int,
+    rep: int = 1,
+    prob_q: tuple | None = None,  # (bs, width, exp_width, exp_bias) | None
+    exact_q: bool = True,  # q is block_fp-quantized with <= 8 mantissa bits
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention over the POS-MAJOR packed cache, one program per
+    batch element -> ctx [b, nh, hd] f32. See ``_attn_kernel_batch``."""
+    b, nh, hd = q.shape
+    _, _, s_len, nkv = k_codes.shape
+    assert nh == nkv * rep, (nh, nkv, rep)
+    lanes = s_len * nkv
+    nh_p = max(8, -(-nh // 8) * 8)  # pad rows to a sublane tile
+    if nh_p != nh:
+        q = jnp.pad(q, ((0, 0), (0, nh_p - nh), (0, 0)))
+    # bf16 dots are exact only when BOTH sides carry <= 8 mantissa bits:
+    # dequantized K/V always do (packed codes), q/probs only when quantized
+    dt = jnp.bfloat16 if (prob_q is not None and exact_q) else jnp.float32
+    kernel = functools.partial(
+        _attn_kernel_batch,
+        bs_k=bs_k,
+        bs_v=bs_v,
+        sqrt_hd=math.sqrt(hd),
+        prob_q=prob_q,
+        nkv=nkv,
+        rep=rep,
+        nh=nh,
+        s_len=s_len,
+        dt=dt,
+        interpret=interpret,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # the full-slab intermediates (bf16 K/V dequant + f32
+                # score/prob rows) exceed Mosaic's conservative 16MB scoped
+                # default by ~100KB at the cap shape (nkv*S = 8192); v5e has
+                # 128MB of physical VMEM
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * nh_p * lanes * hd,
+                bytes_accessed=(
+                    k_codes.size + v_codes.size
+                    + 4 * (k_scales.size + v_scales.size + q.size)
+                    + 4 * b * nh_p * hd
+                ),
+                transcendentals=b * nh_p * lanes,  # exp
+            ),
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nh_p, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hd, lanes), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_scales.shape[1], lanes), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lanes, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lanes, v_scales.shape[3]), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nh_p, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nh_p, hd), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(
+        positions.astype(jnp.int32).reshape(b),
+        q,
+        k_codes.reshape(b, hd, lanes),
+        k_scales.reshape(b, k_scales.shape[1], lanes),
+        v_codes.reshape(b, lanes, hd),
+        v_scales.reshape(b, lanes, v_scales.shape[3]),
+    )
+    return out[:, :nh]
+
+
 def _attn_kernel(pos_ref, q_ref, kct_ref, kst_ref, vc_ref, vs_ref, o_ref, *,
                  bs_k: int, bs_v: int, sqrt_hd: float, prob_q,
                  interpret: bool):

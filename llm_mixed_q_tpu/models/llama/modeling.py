@@ -256,7 +256,9 @@ def llama_model(
     past_len = 0 if past_kvs is None else past_kvs[0][0].shape[2]
     kv_len = past_len + q_len
 
-    hidden = params["embed_tokens"]["weight"][input_ids]
+    # a bf16 embedding table (pack.py bf16_embed serving option) upcasts at
+    # the lookup: the backbone always computes in f32
+    hidden = params["embed_tokens"]["weight"][input_ids].astype(jnp.float32)
     if position_ids is None:
         position_ids = jnp.broadcast_to(
             jnp.arange(past_len, kv_len, dtype=jnp.int32)[None, :], (b, q_len)
@@ -322,10 +324,17 @@ def llama_for_causal_lm(
         past_kvs,
         remat,
     )
-    if config.tie_word_embeddings:
-        logits = hidden @ params["embed_tokens"]["weight"].T
-    else:
-        logits = hidden @ params["lm_head"]["weight"].T
+    lm_w = params["embed_tokens" if config.tie_word_embeddings else "lm_head"][
+        "weight"
+    ]
+    # bf16 lm_head (pack.py bf16_embed): halve the HBM stream of the
+    # decode step's largest dense matmul; hidden is cast to match (the
+    # documented serving deviation — logits rounding only). f32 tables
+    # keep the reference-exact f32 matmul.
+    logits = jax.lax.dot_general(
+        hidden.astype(lm_w.dtype), lm_w, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     out = {"logits": logits, "past_kvs": new_kvs}
     if labels is not None:
         out["loss"] = causal_lm_loss(logits, labels)

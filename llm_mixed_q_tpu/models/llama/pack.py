@@ -32,10 +32,34 @@ def pack_llama_params(
     subbyte: bool = False,
     host: bool = False,
     fuse: bool = True,
+    bf16_embed: bool = False,
 ) -> dict:
+    """``bf16_embed=True`` additionally stores the embedding table (and
+    untied lm_head) in bfloat16 — the serving option: it halves the decode
+    step's largest DENSE weight stream (the fp32 logits matmul, ~0.5 GB/step
+    at 7B) and the table's HBM footprint. Numeric deviation: embeddings and
+    logits round to bf16 (the backbone still computes in f32); quantified by
+    quality.py's packed-vs-fake logit arm. The reference keeps these fp32
+    (it quantizes only linear/matmul nodes — quant_config_llama.py:50-65)."""
     if config.quant_config is None:
         return params
     new_params = dict(params)
+    if bf16_embed:
+        import numpy as np
+
+        for name in ("embed_tokens", "lm_head"):
+            if name in new_params:
+                node = dict(new_params[name])
+                w = node["weight"]
+                if host:
+                    import ml_dtypes
+
+                    node["weight"] = np.asarray(w).astype(ml_dtypes.bfloat16)
+                else:
+                    import jax.numpy as jnp
+
+                    node["weight"] = jnp.asarray(w, jnp.bfloat16)
+                new_params[name] = node
     new_layers = []
     for i, layer in enumerate(params["layers"]):
         layer_cfg = config.quant_config[f"model_layer_{i}"]
@@ -69,11 +93,14 @@ def pack_llama_params(
 
 
 def pack_llama_params_host(
-    params: dict, config, subbyte: bool = False, fuse: bool = True
+    params: dict, config, subbyte: bool = False, fuse: bool = True,
+    bf16_embed: bool = False
 ) -> dict:
     """Host-side packing (native C++ engine / CPU-JAX fallback): packed
     leaves are numpy, so a later ``jax.device_put`` moves only the packed
     bytes (~1/4 at int8 codes, ~1/5 sub-byte) over the host↔device link.
     Use for models whose fp32 params exceed device HBM (e.g. Llama-7B on
     one 16GB chip)."""
-    return pack_llama_params(params, config, subbyte, host=True, fuse=fuse)
+    return pack_llama_params(
+        params, config, subbyte, host=True, fuse=fuse, bf16_embed=bf16_embed
+    )

@@ -29,6 +29,7 @@ import numpy as np
 from ...kernels.attention_decode import (
     attention_kernel_ok,
     packed_attention_decode,
+    packed_attention_decode_batch,
     prob_q_spec,
 )
 from ...kernels.packing import (
@@ -63,27 +64,50 @@ class PackedKVCache(NamedTuple):
     1 + 4/bs bytes/element of cache (3.2x less HBM traffic at bs=16) —
     the reference (and the fake-quant cache above) reads 4.
 
-    K is stored TRANSPOSED ([..., hd, max_len]) so the fused Pallas decode
-    kernel's score matmul is a standard MXU op with the kv axis on lanes
-    (kernels/attention_decode.py module docstring). V is natural-order for
-    the context matmul. Quantization blocks are along head_dim on both.
+    Two layouts, chosen at init (``pos_major``):
+
+    - POS-MAJOR (``nkv * max_len <= BATCH_KERNEL_MAX_LANES``): lanes hold
+      (kv position, head) so the batch-folded decode kernel reads one flat
+      [hd, S*nkv] slab per batch element (one grid cell per batch element
+      instead of one per (batch, head) — see attention_decode.py
+      ``_attn_kernel_batch``). A decode append is a CONTIGUOUS
+      dynamic_update_slice of all heads at once.
+    - HEAD-MAJOR (longer caches): per-head [hd, max_len] K slabs for the
+      per-(batch, head) kernel, whose VMEM footprint is independent of nkv.
+
+    K is stored TRANSPOSED (head_dim before the kv axis) in both layouts so
+    the score matmul is a standard MXU op with the kv axis on lanes. V is
+    natural-order for the context matmul. Quantization blocks are along
+    head_dim on both.
 
     Each field is a TUPLE of per-layer arrays, not one stacked [L, ...]
     array: a stacked cache forces a slice copy per layer feeding the Pallas
     call plus a full-cache jnp.stack copy per step (measured ~1.2GB of temp
     buffers at 4 layers x 2k context); per-layer leaves update in place."""
 
-    k_codes: tuple  # L x int8 [b, nkv, hd, max_len]
-    k_scales: tuple  # L x f32 [b, nkv, hd // bs_k, max_len]
-    v_codes: tuple  # L x int8 [b, nkv, max_len, hd]
-    v_scales: tuple  # L x f32 [b, nkv, max_len, hd // bs_v]
+    k_codes: tuple  # L x int8 [b, hd, S, nkv] pos-major | [b, nkv, hd, S] head-major
+    k_scales: tuple  # L x f32 [b, hd//bs_k, S, nkv] | [b, nkv, hd//bs_k, S]
+    v_codes: tuple  # L x int8 [b, S, nkv, hd] | [b, nkv, S, hd]
+    v_scales: tuple  # L x f32 [b, S, nkv, hd//bs_v] | [b, nkv, S, hd//bs_v]
     bs_k: int  # static
     bs_v: int  # static
+    pos_major: bool = True  # static
+
+    @property
+    def max_len(self) -> int:
+        return (
+            self.v_codes[0].shape[1]
+            if self.pos_major
+            else self.v_codes[0].shape[2]
+        )
 
 
 jax.tree_util.register_pytree_node(
     PackedKVCache,
-    lambda c: ((c.k_codes, c.k_scales, c.v_codes, c.v_scales), (c.bs_k, c.bs_v)),
+    lambda c: (
+        (c.k_codes, c.k_scales, c.v_codes, c.v_scales),
+        (c.bs_k, c.bs_v, c.pos_major),
+    ),
     lambda aux, leaves: PackedKVCache(*leaves, *aux),
 )
 
@@ -127,9 +151,26 @@ def kv_cache_pack_spec(config: LlamaQuantizedConfig):
 def init_packed_kv_cache(
     config: LlamaQuantizedConfig, batch: int, max_len: int, spec
 ) -> PackedKVCache:
+    from ...kernels.attention_decode import BATCH_KERNEL_MAX_LANES
+
     bs_k, bs_v = spec
     L = config.num_hidden_layers
     nkv, hd = config.num_key_value_heads, config.head_dim
+    pos_major = nkv * max_len <= BATCH_KERNEL_MAX_LANES
+    if pos_major:
+        return PackedKVCache(
+            tuple(jnp.zeros((batch, hd, max_len, nkv), jnp.int8)
+                  for _ in range(L)),
+            tuple(jnp.zeros((batch, hd // bs_k, max_len, nkv), jnp.float32)
+                  for _ in range(L)),
+            tuple(jnp.zeros((batch, max_len, nkv, hd), jnp.int8)
+                  for _ in range(L)),
+            tuple(jnp.zeros((batch, max_len, nkv, hd // bs_v), jnp.float32)
+                  for _ in range(L)),
+            bs_k,
+            bs_v,
+            True,
+        )
     return PackedKVCache(
         tuple(jnp.zeros((batch, nkv, hd, max_len), jnp.int8) for _ in range(L)),
         tuple(
@@ -143,6 +184,7 @@ def init_packed_kv_cache(
         ),
         bs_k,
         bs_v,
+        False,
     )
 
 
@@ -177,11 +219,11 @@ def _quantize_kv_append(k, v, mm0_cfg, mm1_cfg):
 
 
 def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec,
-                     keep_packed=False):
+                     keep_packed=False, pos_major=False):
     """Append this step's K/V to the per-layer cache and read the full
     (dequantized) K/V back. cache_layer is the f32 [2, b, nkv, max_len, hd]
     array (pack_spec None) or the (k_codes, k_scales, v_codes, v_scales)
-    tuple of one layer's packed cache.
+    tuple of one layer's packed cache (layout per ``pos_major``).
 
     ``positions`` is PER-SEQUENCE [b] (ragged batches write each sequence's
     K/V at its own cache offset — a vmapped dynamic_update_slice, which XLA
@@ -211,9 +253,45 @@ def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec,
         return cache_layer, cache_layer[0], cache_layer[1]
     bs_k, bs_v = pack_spec
     kc, ks, vc, vs = cache_layer
-    k_codes, k_scales = _encode_kv(k, mm0_cfg, bs_k)
+    k_codes, k_scales = _encode_kv(k, mm0_cfg, bs_k)  # [b, nkv, 1, hd/nb]
     v_codes, v_scales = _encode_kv(v, mm1_cfg, bs_v)
-    # K is cached transposed ([..., hd/nb, max_len]) — see PackedKVCache
+
+    if pos_major:
+        # pos-major: K [b, hd, S, nkv]; V [b, S, nkv, hd] — a decode append
+        # touches ALL heads at position p in one contiguous slice
+        k_new = k_codes.transpose(0, 3, 2, 1)  # [b, hd, 1, nkv]
+        ks_new = k_scales.transpose(0, 3, 2, 1)  # [b, nb, 1, nkv]
+        v_new = v_codes.transpose(0, 2, 1, 3)  # [b, 1, nkv, hd]
+        vs_new = v_scales.transpose(0, 2, 1, 3)  # [b, 1, nkv, nb]
+        if uniform:
+            kc = jax.lax.dynamic_update_slice(kc, k_new, (0, 0, positions, 0))
+            ks = jax.lax.dynamic_update_slice(ks, ks_new, (0, 0, positions, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v_new, (0, positions, 0, 0))
+            vs = jax.lax.dynamic_update_slice(vs, vs_new, (0, positions, 0, 0))
+        else:
+            def upd_k(buf, new, p):
+                # buf [hd, S, nkv]; new [hd, 1, nkv]
+                return jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+
+            def upd_v(buf, new, p):
+                # buf [S, nkv, hd]; new [1, nkv, hd]
+                return jax.lax.dynamic_update_slice(buf, new, (p, 0, 0))
+
+            kc = jax.vmap(upd_k)(kc, k_new, positions)
+            ks = jax.vmap(upd_k)(ks, ks_new, positions)
+            vc = jax.vmap(upd_v)(vc, v_new, positions)
+            vs = jax.vmap(upd_v)(vs, vs_new, positions)
+        if keep_packed:
+            return (kc, ks, vc, vs), None, None
+        # XLA fallback (CPU/tests): dequantize + relayout to the einsum's
+        # [b, nkv, hd, S] / [b, nkv, S, hd]
+        k_all_t = (
+            kc.astype(jnp.float32) * jnp.repeat(ks, bs_k, axis=1)
+        ).transpose(0, 3, 1, 2)
+        v_all = bfp_decode_lastdim(vc, vs, bs_v).transpose(0, 2, 1, 3)
+        return (kc, ks, vc, vs), k_all_t, v_all
+
+    # head-major: K is cached transposed ([..., hd/nb, max_len])
     k_codes_t = jnp.swapaxes(k_codes, 2, 3)  # [b, nkv, hd, 1]
     k_scales_t = jnp.swapaxes(k_scales, 2, 3)  # [b, nkv, nb, 1]
 
@@ -266,6 +344,7 @@ def _attention_cached(
     quantize_weights,
     pack_spec=None,
     attn_kernel=False,
+    pos_major=False,
 ):
     b, q_len, _ = hidden.shape  # q_len == 1
     nh, nkv, hd = (
@@ -273,9 +352,12 @@ def _attention_cached(
         config.num_key_value_heads,
         config.head_dim,
     )
-    max_len = (
-        cache_layer.shape[3] if pack_spec is None else cache_layer[2].shape[2]
-    )
+    if pack_spec is None:
+        max_len = cache_layer.shape[3]
+    elif pos_major:
+        max_len = cache_layer[2].shape[1]
+    else:
+        max_len = cache_layer[2].shape[2]
     qc = partial(_node_cfg, config.quant_config, layer_idx, "self_attn")
     # scalar position (uniform batch) stays scalar for the cache append (a
     # plain dynamic_update_slice instead of a TPU scatter); RoPE/mask/kernel
@@ -320,7 +402,7 @@ def _attention_cached(
     use_kernel = attn_kernel and pack_spec is not None and q_len == 1
     cache_layer, k_all, v_all = _append_and_read(
         cache_layer, k, v, positions, qc("matmul_0"), qc("matmul_1"), pack_spec,
-        keep_packed=use_kernel,
+        keep_packed=use_kernel, pos_major=pos_major,
     )  # k_all/v_all: [b, nkv, max_len, hd] (None when the kernel reads codes)
 
     # q quantized per matmul_0 data_in; cached K already quantized
@@ -338,15 +420,36 @@ def _attention_cached(
         # fused Pallas path: dequant + masked softmax + exact block_fp prob
         # quantization + context matmul in ONE kernel; HBM streams codes
         kc, ks, vc, vs = cache_layer
-        ctx = packed_attention_decode(
-            qg,
-            kc, ks, vc, vs,
-            positions_b,
-            pack_spec[0],
-            pack_spec[1],
-            prob_q=prob_q_spec(qc("matmul_1"), max_len),
-            interpret=jax.default_backend() != "tpu",
-        )
+        interp = jax.default_backend() != "tpu"
+        if pos_major:
+            # batch-folded kernel: one grid cell per batch element; bf16
+            # dots only when q carries <= 8 exact mantissa bits
+            exact_q = (
+                not mm0.get("bypass", False)
+                and mm0.get("name") == "block_fp"
+                and mm0.get("data_in_width", 99) <= 9
+            )
+            ctx = packed_attention_decode_batch(
+                qg.reshape(b, nh, hd),
+                kc, ks, vc, vs,
+                positions_b,
+                pack_spec[0],
+                pack_spec[1],
+                rep=rep,
+                prob_q=prob_q_spec(qc("matmul_1"), max_len),
+                exact_q=exact_q,
+                interpret=interp,
+            )
+        else:
+            ctx = packed_attention_decode(
+                qg,
+                kc, ks, vc, vs,
+                positions_b,
+                pack_spec[0],
+                pack_spec[1],
+                prob_q=prob_q_spec(qc("matmul_1"), max_len),
+                interpret=interp,
+            )
         ctx = ctx.reshape(b, nh, q_len, hd).transpose(0, 2, 1, 3).reshape(
             b, q_len, nh * hd
         )
@@ -416,8 +519,9 @@ def decode_step(
     # scalar stays scalar: uniform batches take the cheap dynamic_update_
     # slice append; [b] positions take the ragged (scatter) append
     positions = jnp.asarray(position, dtype=jnp.int32)
-    hidden = params["embed_tokens"]["weight"][token]
-    max_len = cache.v_codes[0].shape[2] if packed else cache.shape[4]
+    # bf16 embedding tables (pack.py bf16_embed) upcast at the lookup
+    hidden = params["embed_tokens"]["weight"][token].astype(jnp.float32)
+    max_len = cache.max_len if packed else cache.shape[4]
     if attn_kernel is None:
         # auto: compiled Pallas on TPU only (interpret mode on CPU is for
         # tests — orders of magnitude slower than the XLA einsum path)
@@ -452,6 +556,7 @@ def decode_step(
             quantize_weights,
             pack_spec,
             attn_kernel,
+            pos_major=packed and cache.pos_major,
         )
         hidden = residual + h
         residual = hidden
@@ -465,13 +570,19 @@ def decode_step(
         new_cache.append(layer_cache)
     hidden = rms_norm(hidden, params["norm"]["weight"], config.rms_norm_eps)
     lm_w = params.get("lm_head", params["embed_tokens"])["weight"]
-    logits = hidden[:, 0] @ lm_w.T
+    # bf16 lm_head (pack.py bf16_embed) halves the decode step's largest
+    # dense HBM stream; f32 tables keep the exact f32 matmul
+    logits = jax.lax.dot_general(
+        hidden[:, 0].astype(lm_w.dtype), lm_w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     if packed:
         # per-layer tuples: no jnp.stack (a full-cache copy every step)
         out_cache = PackedKVCache(
             *(tuple(lc[j] for lc in new_cache) for j in range(4)),
             cache.bs_k,
             cache.bs_v,
+            cache.pos_major,
         )
     else:
         out_cache = jnp.stack(new_cache)
@@ -497,11 +608,18 @@ def prefill_into_cache(params, input_ids, attention_mask, cache, config,
     for i, (k, v) in enumerate(out["past_kvs"]):
         qc = partial(_node_cfg, config.quant_config, i, "self_attn")
         if packed:
-            kc, ks = _encode_kv(k, qc("matmul_0"), cache.bs_k)
+            kc, ks = _encode_kv(k, qc("matmul_0"), cache.bs_k)  # [b,nkv,S,·]
             vc, vs = _encode_kv(v, qc("matmul_1"), cache.bs_v)
-            # K is cached transposed [..., hd/nb, max_len]
-            kc_t = jnp.swapaxes(kc, 2, 3)
-            ks_t = jnp.swapaxes(ks, 2, 3)
+            if cache.pos_major:
+                # K [b, hd, S, nkv] / V [b, S, nkv, hd]
+                kc_t = kc.transpose(0, 3, 2, 1)
+                ks_t = ks.transpose(0, 3, 2, 1)
+                vc = vc.transpose(0, 2, 1, 3)
+                vs = vs.transpose(0, 2, 1, 3)
+            else:
+                # K is cached transposed [..., hd/nb, max_len]
+                kc_t = jnp.swapaxes(kc, 2, 3)
+                ks_t = jnp.swapaxes(ks, 2, 3)
 
             def put(leaves, new):
                 at = (0, 0, 0, 0)
@@ -518,6 +636,7 @@ def prefill_into_cache(params, input_ids, attention_mask, cache, config,
                 put(cache.v_scales, vs),
                 cache.bs_k,
                 cache.bs_v,
+                cache.pos_major,
             )
         else:
             kq, vq = _quantize_kv_append(k, v, qc("matmul_0"), qc("matmul_1"))

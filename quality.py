@@ -422,10 +422,124 @@ def bert_arm(steps):
     }
 
 
+def seven_b_shape_arm(batch=2, seq=64):
+    """Quality evidence at the FLAGSHIP 7B shape (4096 hidden / 32 layers /
+    32000 vocab, random init — real checkpoints are environment-blocked;
+    VERDICT r3 missing #3):
+
+    - per-node-type WEIGHT SQNR of the W6A6 BFP grid at 7B fan-ins
+      (block exponents and quantization error scale with fan-in, so the
+      tiny-model SQNR table does not cover this), streamed layer-by-layer
+      on the host;
+    - packed-vs-fake-quant LOGIT parity on one batch: the fake-quant oracle
+      runs on CPU f32, the packed model (int8 codes + fused kernels) on the
+      real chip — max |rel diff| and argmax agreement price every numeric
+      deviation of the serving path at once (packed storage, bf16 MXU
+      accumulation, and optionally the bf16_embed serving option).
+    """
+    from llm_mixed_q_tpu.models.hf_loader import init_llama_params
+    from llm_mixed_q_tpu.models.llama import (
+        LlamaQuantizedConfig,
+        llama_for_causal_lm,
+    )
+    from llm_mixed_q_tpu.models.llama.pack import pack_llama_params_host
+    from llm_mixed_q_tpu.ops.linear import quantize_weight
+    from llm_mixed_q_tpu.kernels.packing import pack_block_fp, unpack_block_fp
+
+    cpu = jax.devices("cpu")[0]
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = LlamaQuantizedConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=32, num_attention_heads=32,
+        max_position_embeddings=2048, quant_config=quant_cfg("w6a6_bfp"),
+    )
+    print("7B-shape: init random params on host…", flush=True)
+    params = init_llama_params(cfg, task="lm", seed=0)
+
+    # (a) weight SQNR per node type + packed==fake bit parity, on host CPU
+    node_cfg = cfg.quant_config["model_layer_0"]
+    sqnr_acc: dict[str, list] = {}
+    mism = 0
+    with jax.default_device(cpu):
+        for li in (0, 15, 31):  # first / middle / last layer
+            layer = params["layers"][li]
+            for group, names in (
+                ("self_attn", ("q_proj", "k_proj", "v_proj", "o_proj")),
+                ("mlp", ("gate_proj", "up_proj", "down_proj")),
+            ):
+                for name in names:
+                    w = jnp.asarray(layer[group][name]["weight"])
+                    ncfg = node_cfg[group][name]
+                    qw = quantize_weight(w, ncfg)
+                    err = jnp.sum((w - qw) ** 2)
+                    sig = jnp.sum(w**2)
+                    db = float(10 * jnp.log10(sig / jnp.maximum(err, 1e-30)))
+                    sqnr_acc.setdefault(name, []).append(round(db, 2))
+                    p = pack_block_fp(
+                        w, ncfg["weight_width"],
+                        ncfg.get("weight_exponent_width", 8),
+                        ncfg.get("weight_exponent_bias"), [1, 16],
+                    )
+                    mism += int(jnp.sum(unpack_block_fp(p) != qw))
+    out = {
+        "shape": {"hidden": 4096, "layers": 32, "vocab": 32000},
+        "weight_sqnr_db_by_node": {
+            k: {"per_layer_0_15_31": v, "mean": round(float(np.mean(v)), 2)}
+            for k, v in sqnr_acc.items()
+        },
+        "packed_vs_fake_weight_mismatches": mism,
+        "note_mismatches": "elements where unpack(pack(w)) != qdq(w); only "
+        "the documented |w|<=1e-8 zero-grid deviation can appear here",
+    }
+
+    # (b) logit parity: CPU fake-quant oracle vs on-chip packed serving path
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 32000, size=(batch, seq)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    print("7B-shape: CPU fake-quant oracle forward…", flush=True)
+    with jax.default_device(cpu):
+        ref = np.asarray(
+            llama_for_causal_lm(
+                jax.device_put(params, cpu), ids, mask, config=cfg,
+                quantize_weights=True,
+            )["logits"][:, -1]
+        )
+
+    if on_tpu:
+        print("7B-shape: packing + on-chip packed forward…", flush=True)
+        for bf16_embed in (False, True):
+            packed = jax.device_put(
+                pack_llama_params_host(params, cfg, bf16_embed=bf16_embed)
+            )
+            got = np.asarray(
+                jax.jit(
+                    lambda p, i, m: llama_for_causal_lm(
+                        p, i, m, config=cfg, quantize_weights=False
+                    )["logits"][:, -1]
+                )(packed, ids, mask)
+            )
+            rel = np.abs(got - ref) / (np.abs(ref) + 1e-6)
+            key = "packed_bf16_embed" if bf16_embed else "packed_f32_embed"
+            out[f"logit_parity_{key}"] = {
+                "max_rel_diff": float(np.max(rel)),
+                "mean_rel_diff": float(np.mean(rel)),
+                "argmax_agree": float(
+                    np.mean(got.argmax(-1) == ref.argmax(-1))
+                ),
+            }
+            del packed, got
+    else:
+        out["logit_parity"] = "skipped (no TPU in this run)"
+    del params
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="QUALITY.json")
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--seven-b", action="store_true",
+                    help="also run the 7B-shape arm (chip + ~40GB host RAM)")
     args = ap.parse_args()
 
     corpus = synthetic_corpus(400 * SEQ, seed=0)
@@ -510,6 +624,9 @@ def main():
     )
     report["opt_arm"] = opt_arm(corpus, steps=max(args.steps // 2, 50))
     report["bert_arm"] = bert_arm(steps=max(args.steps // 2, 50))
+
+    if args.seven_b:
+        report["seven_b_shape"] = seven_b_shape_arm()
 
     d6 = report["configs"]["w6a6_bfp"]["delta_vs_fp32"]
     qat_rec = report["w4a4_after_qat"]
