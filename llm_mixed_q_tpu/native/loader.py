@@ -103,8 +103,11 @@ def native_pack_int8(w, width, exponent_width=8, exponent_bias=None, block=16):
 
 def native_pack_subbyte(w, width, exponent_width=8, exponent_bias=None,
                         block=16):
-    """numpy [out, in] -> (words uint32 [out, in_pad/per_word], scales f32
-    [n_tiles, out, tile/block]) or None if unavailable."""
+    """numpy [out, in] -> (words uint32 [out, in_pad/per_word], scales uint8
+    [n_tiles, out, tile/block] biased exponents 2^(u8-128)) or None if
+    unavailable. The C++ engine emits f32 power-of-two scales; the exponent
+    byte is extracted here (log2 of a power of two is exact, and a scale
+    flushed to 0 maps to -inf -> clips to byte 0 — same as the JAX path)."""
     lib = _load()
     if lib is None:
         return None
@@ -119,4 +122,6 @@ def native_pack_subbyte(w, width, exponent_width=8, exponent_bias=None,
         w, out, in_padded, width, exponent_width, eb, block, words, scales,
         _n_threads(),
     )
-    return words, scales
+    with np.errstate(divide="ignore"):
+        e = np.round(np.log2(scales))
+    return words, np.clip(e + 128, 0, 255).astype(np.uint8)

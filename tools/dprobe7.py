@@ -105,8 +105,8 @@ def make_variant(config, variant):
         packed = isinstance(cache, S.PackedKVCache)
         pack_spec = (cache.bs_k, cache.bs_v) if packed else None
         positions = jnp.asarray(pos, dtype=jnp.int32)
-        hidden = p["embed_tokens"]["weight"][tok]
-        max_len = cache.v_codes[0].shape[2]
+        hidden = p["embed_tokens"]["weight"][tok].astype(jnp.float32)
+        max_len = cache.max_len
         cos, sin = rope_tables(max_len, config.head_dim, config.rope_theta, hidden.dtype)
         new_cache = []
         for i, lp in enumerate(p["layers"]):
@@ -119,6 +119,7 @@ def make_variant(config, variant):
                 h, layer_cache = S._attention_cached(
                     lp["self_attn"], h, layer_cache_in, positions, cos, sin,
                     config, i, False, pack_spec, True,
+                    pos_major=cache.pos_major,
                 )
             else:
                 # linears only: qkv + o with no attention in between
@@ -141,13 +142,16 @@ def make_variant(config, variant):
         hidden = rms_norm(hidden, p["norm"]["weight"], config.rms_norm_eps)
         if lm:
             lm_w = p.get("lm_head", p["embed_tokens"])["weight"]
-            logits = hidden[:, 0] @ lm_w.T
+            logits = jax.lax.dot_general(
+                hidden[:, 0].astype(lm_w.dtype), lm_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             out = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
         else:
             out = (jnp.sum(hidden[:, 0], axis=-1) > 0)[:, None].astype(jnp.int32)
         out_cache = S.PackedKVCache(
             *(tuple(lc[j] for lc in new_cache) for j in range(4)),
-            cache.bs_k, cache.bs_v,
+            cache.bs_k, cache.bs_v, cache.pos_major,
         )
         return out, out_cache
 
@@ -155,6 +159,10 @@ def make_variant(config, variant):
         return lambda p, t, c, pos: (
             lambda lg_c: (jnp.argmax(lg_c[0], -1)[:, None].astype(jnp.int32), lg_c[1])
         )(decode_step(p, t, c, pos, config, False, True))
+    if variant == "xlaattn":
+        return lambda p, t, c, pos: (
+            lambda lg_c: (jnp.argmax(lg_c[0], -1)[:, None].astype(jnp.int32), lg_c[1])
+        )(decode_step(p, t, c, pos, config, False, False))
     if variant == "nolm":
         return lambda p, t, c, pos: step(p, t, c, pos, lm=False)
     if variant == "noattn":
@@ -182,7 +190,12 @@ def main():
                     lg = jax.lax.dot_general(
                         x.astype(w_.dtype), w_, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    x = jnp.tanh(lg[:, :HIDDEN])
+                    # fold the FULL logits row into the feedback: without it
+                    # XLA slices the dot to the first HIDDEN output columns
+                    # and reads 4096/32000 of the weight (measured 13.6TB/s
+                    # "fp32" — dead-code elimination, not bandwidth)
+                    x = jnp.tanh(lg[:, :HIDDEN]
+                                 + 1e-30 * lg.sum(axis=1, keepdims=True))
                 return x
             return lax.fori_loop(0, n, body, x).sum()
 
@@ -225,7 +238,7 @@ def main():
     }
 
     per_layer = {}
-    for variant in ("full", "nolm", "noattn"):
+    for variant in ("full", "xlaattn", "nolm", "noattn"):
         ts = {}
         for L, (config, packed) in setups.items():
             cache = init_packed_kv_cache(config, BATCH, MAXLEN, spec)
