@@ -124,13 +124,24 @@ def pack_block_fp(
     exponent_width: int = 8,
     exponent_bias=None,
     block_size=16,
+    k_stride: int | None = None,
 ) -> PackedBFP:
-    """Quantize+pack a [out, in] weight. Same grid as ``_block_fp_qdq``."""
+    """Quantize+pack a [out, in] weight. Same grid as ``_block_fp_qdq``.
+
+    ``k_stride``: pad the packed K axis to this multiple (must be a
+    multiple of the block). The fused kernel needs its K tile (bk, 1024 by
+    default) to divide the padded K — without a stride, K = 11008 (the 7B
+    down_proj) only admits bk <= 256 and ran at 0.31 of HBM peak
+    (tools/ktune7.py round 4). Padding is zero codes + 2.3% extra bytes;
+    ``unpack_block_fp`` still slices to ``in_features``."""
     out_features, in_features = w.shape
     bs = effective_block_len(block_size, in_features)
     assert bs is not None, f"unsupported 2-D tile block for packing: {block_size}"
 
     pad = (-in_features) % bs
+    if k_stride:
+        assert k_stride % bs == 0, (k_stride, bs)
+        pad = (-in_features) % k_stride
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad)))
     in_padded = w.shape[1]

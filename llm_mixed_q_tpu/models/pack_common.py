@@ -38,6 +38,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _k_stride(bs: int, in_features: int) -> int | None:
+    """K padding stride for int8 packing: align to the kernel's default
+    1024 K-tile whenever that costs <3% extra bytes (e.g. 7B down_proj
+    11008 -> 11264; without it only bk <= 256 divides and the kernel runs
+    at a third of HBM peak — tools/ktune7.py round 4)."""
+    if in_features >= 1024 and 1024 % bs == 0:
+        return 1024
+    return None
+
+
 def _packable_cfg(node_cfg: dict, w) -> bool:
     return (
         node_cfg.get("name") == "block_fp"
@@ -113,7 +123,8 @@ def pack_fused_nodes(
         ]
     else:
         packed = [
-            pack_block_fp(w, width, ew, eb, cfg["weight_block_size"])
+            pack_block_fp(w, width, ew, eb, cfg["weight_block_size"],
+                          k_stride=_k_stride(bs, w.shape[1]))
             for w in ws
         ]
     fused = {
@@ -160,7 +171,8 @@ def pack_linear_node(
             )
         else:
             node["weight"] = pack_block_fp(
-                w, width, ew, eb, node_cfg["weight_block_size"]
+                w, width, ew, eb, node_cfg["weight_block_size"],
+                k_stride=_k_stride(bs, w.shape[1]),
             )
     else:
         node["weight"] = _on_host_if(host, quantize_weight, w, node_cfg)
@@ -183,6 +195,7 @@ def _pack_host(w, width, ew, eb, bs, use_sub):
 
     w = np.asarray(w, dtype=np.float32)
     out_features, in_features = w.shape
+    stride = _k_stride(bs, in_features)
     if use_sub:
         res = native_pack_subbyte(w, width, ew, eb, bs)
         if res is not None:
@@ -190,7 +203,7 @@ def _pack_host(w, width, ew, eb, bs, use_sub):
             return PackedBFPSub(words, scales, width, bs, out_features,
                                 in_features)
     else:
-        res = native_pack_int8(w, width, ew, eb, bs)
+        res = native_pack_int8(w, width, ew, eb, bs, k_stride=stride)
         if res is not None:
             codes, scales = res
             return PackedBFP(codes, scales, width, bs, out_features,
@@ -202,7 +215,7 @@ def _pack_host(w, width, ew, eb, bs, use_sub):
         packed = (
             pack_block_fp_subbyte(w, width, ew, eb, [1, bs])
             if use_sub
-            else pack_block_fp(w, width, ew, eb, [1, bs])
+            else pack_block_fp(w, width, ew, eb, [1, bs], k_stride=stride)
         )
     leaves, treedef = jax.tree.flatten(packed)
     return jax.tree.unflatten(treedef, [np.asarray(l) for l in leaves])

@@ -84,13 +84,18 @@ def _prep(w: np.ndarray, multiple: int):
     return w, out, in_features, w.shape[1]
 
 
-def native_pack_int8(w, width, exponent_width=8, exponent_bias=None, block=16):
+def native_pack_int8(w, width, exponent_width=8, exponent_bias=None, block=16,
+                     k_stride=None):
     """numpy [out, in] -> (codes int8 [out, in_pad], scales f32
-    [out, in_pad/block]) or None if the native library is unavailable."""
+    [out, in_pad/block]) or None if the native library is unavailable.
+    ``k_stride``: pad K to this multiple (kernel K-tile alignment — must be
+    a multiple of ``block``; mirrors ``pack_block_fp``)."""
     lib = _load()
     if lib is None:
         return None
-    w, out, _, in_padded = _prep(np.asarray(w), block)
+    if k_stride:
+        assert k_stride % block == 0, (k_stride, block)
+    w, out, _, in_padded = _prep(np.asarray(w), k_stride or block)
     codes = np.empty((out, in_padded), dtype=np.int8)
     scales = np.empty((out, in_padded // block), dtype=np.float32)
     eb = -1 if exponent_bias in (None, "none", "None") else int(exponent_bias)

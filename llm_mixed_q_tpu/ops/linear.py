@@ -86,12 +86,21 @@ def quantized_linear(
     from ..kernels.packing import PackedBFP, PackedBFPSub
 
     if isinstance(w, (PackedBFP, PackedBFPSub)):
-        from ..kernels.dequant_matmul import bfp_matmul
+        from ..kernels.dequant_matmul import actq_spec, bfp_matmul
 
+        # data_in quantizer: folded into the Pallas kernel prologue when the
+        # config is kernel-eligible (actq_spec), applied here as the
+        # reference XLA expression otherwise. Folding removes ~10 small XLA
+        # ops between kernel launches per linear (VERDICT r3 #1).
         xq = x
+        aq = None
         if not config.get("bypass", False):
-            xq = make_entry_quantizer(config, "data_in", skip_first_dim=True)(x)
-        out = bfp_matmul(xq, w)
+            aq = actq_spec(config)
+            if aq is None:
+                xq = make_entry_quantizer(
+                    config, "data_in", skip_first_dim=True
+                )(x)
+        out = bfp_matmul(xq, w, actq=aq)
         out = out if b is None else out + b
         if _TAP_COLLECTOR is not None and node_name is not None:
             _TAP_COLLECTOR.on_linear(node_name, x, w, b, out)

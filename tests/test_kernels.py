@@ -167,3 +167,95 @@ def test_fallback_matches_kernel_path():
     kn = bfp_matmul(jnp.asarray(x), packed, use_pallas=True, interpret=True)
     assert fb.shape == (4, 3, 24)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(kn), rtol=2e-3, atol=2e-3)
+
+
+# ------------------------------------------- round 4: in-kernel activation
+# quant + K-stride padding
+
+
+def _actq_cfg(bs=16):
+    return {
+        "name": "block_fp",
+        "bypass": False,
+        "data_in_width": 6,
+        "data_in_exponent_width": 8,
+        "data_in_exponent_bias": None,
+        "data_in_block_size": [1, bs],
+    }
+
+
+@pytest.mark.parametrize("fmt", ["int8", "sub"])
+def test_in_kernel_actq_matches_external_quantize(fmt):
+    """actq folded into the kernel prologue == quantizing x upstream with
+    the reference XLA expression (VERDICT r3 #1)."""
+    from llm_mixed_q_tpu.kernels.dequant_matmul import actq_spec
+
+    k = 1280
+    x_raw = RNG.standard_normal((8, k)).astype(np.float32)
+    x_raw.reshape(-1)[::53] = 0.0
+    w = _w((32, k))
+    if fmt == "sub":
+        packed = pack_block_fp_subbyte(jnp.asarray(w), 6, 8, None, [1, 16])
+    else:
+        packed = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16])
+    spec = actq_spec(_actq_cfg())
+    assert spec == (16, 6, 8, None)
+    fused = bfp_matmul(
+        jnp.asarray(x_raw), packed, use_pallas=True, interpret=True,
+        actq=spec,
+    )
+    xq = _block_fp_qdq(jnp.asarray(x_raw), 6, 8, None, [1, 16],
+                       skip_first_dim=True)
+    ref = bfp_matmul(xq, packed, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_actq_spec_rejects_non_kernel_configs():
+    from llm_mixed_q_tpu.kernels.dequant_matmul import actq_spec
+
+    assert actq_spec(None) is None
+    assert actq_spec({**_actq_cfg(), "bypass": True}) is None
+    assert actq_spec({**_actq_cfg(), "name": "integer"}) is None
+    # 2-D act tile and non-lane-dividing block fall back
+    assert actq_spec({**_actq_cfg(), "data_in_block_size": [4, 16]}) is None
+    assert actq_spec({**_actq_cfg(), "data_in_block_size": [1, 48]}) is None
+    assert actq_spec({**_actq_cfg(), "data_in_block_size": [1, -1]}) is None
+
+
+def test_actq_fallback_path_applies_quantizer():
+    """Non-Pallas dispatch with actq= must quantize x itself (callers pass
+    actq INSTEAD of pre-quantizing)."""
+    from llm_mixed_q_tpu.kernels.dequant_matmul import actq_spec
+
+    x = RNG.standard_normal((4, 64)).astype(np.float32)
+    w = _w((24, 64))
+    packed = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16])
+    spec = actq_spec(_actq_cfg())
+    fb = bfp_matmul(jnp.asarray(x), packed, use_pallas=False, actq=spec)
+    xq = _block_fp_qdq(jnp.asarray(x), 6, 8, None, [1, 16],
+                       skip_first_dim=True)
+    ref = bfp_matmul(xq, packed, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("k", [700, 11008 // 8])
+def test_k_stride_pack_matches_unstrided(k):
+    """Stride-padded packing (kernel K-tile alignment) changes only the
+    padded tail: unpack and matmul results are identical."""
+    w = _w((16, k))
+    base = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16])
+    strided = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16],
+                            k_stride=1024)
+    assert strided.codes.shape[1] % 1024 == 0
+    assert strided.in_features == k
+    np.testing.assert_array_equal(
+        np.asarray(unpack_block_fp(strided)), np.asarray(unpack_block_fp(base))
+    )
+    x = RNG.standard_normal((8, k)).astype(np.float32)
+    y_b = bfp_matmul(jnp.asarray(x), base, use_pallas=True, interpret=True)
+    y_s = bfp_matmul(jnp.asarray(x), strided, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_b), rtol=1e-5,
+                               atol=1e-5)

@@ -70,3 +70,12 @@ def test_native_threaded_large():
     ref = pack_block_fp_subbyte(jnp.asarray(w), 6, 8, None, [1, 16])
     np.testing.assert_array_equal(words, np.asarray(ref.words))
     np.testing.assert_array_equal(scales, np.asarray(ref.scales))
+
+
+def test_native_int8_k_stride_matches_jax():
+    w = _w((16, 700))
+    codes, scales = native_pack_int8(w, 6, 8, None, 16, k_stride=1024)
+    ref = pack_block_fp(jnp.asarray(w), 6, 8, None, [1, 16], k_stride=1024)
+    assert codes.shape == (16, 1024)
+    np.testing.assert_array_equal(codes, np.asarray(ref.codes))
+    np.testing.assert_array_equal(scales, np.asarray(ref.scales))
