@@ -209,11 +209,16 @@ def _attn_kernel_batch(pos_ref, q_ref, kct_ref, kst_ref, vc_ref, vs_ref,
         p = _quantize_probs_strided(p, *prob_q, stride=nkv, s_len=s_len,
                                     interpret=interpret)
 
-    vd = vc_ref[0].astype(dt) * _expand_scales(
-        vs_ref[0], bs_v, 0
-    ).astype(dt)  # [L, hd]
+    # V is stored TRANSPOSED like K ([hd, L] — r4 layout fix: the natural
+    # [L, nkv, hd/bs] scale layout tile-padded 16x in HBM and forced a
+    # relayout copy per layer per step); dequant = sublane expand, and the
+    # context matmul contracts the L axis of both operands (A @ B^T form,
+    # native on the MXU — no transpose materializes)
+    vdt = vc_ref[0].astype(dt) * _expand_scales_sublane(
+        vs_ref[0], bs_v
+    ).astype(dt)  # [hd, L]
     o_ref[0] = jax.lax.dot_general(
-        p.astype(dt), vd, (((1,), (0,)), ((), ())),
+        p.astype(dt), vdt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [nh_p, hd]
 
@@ -227,28 +232,37 @@ BATCH_KERNEL_MAX_LANES = 8192
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bs_k", "bs_v", "rep", "prob_q", "exact_q", "interpret"),
+    static_argnames=(
+        "bs_k", "bs_v", "nkv", "rep", "prob_q", "exact_q", "interpret"
+    ),
 )
 def packed_attention_decode_batch(
     q: jax.Array,  # [b, nh, hd] f32 (RoPE'd, data_in-quantized; rows grouped by kv head)
-    k_codes: jax.Array,  # [b, hd, S, nkv] int8 (POS-MAJOR)
-    k_scales: jax.Array,  # [b, hd // bs_k, S, nkv] f32
-    v_codes: jax.Array,  # [b, S, nkv, hd] int8
-    v_scales: jax.Array,  # [b, S, nkv, hd // bs_v] f32
+    k_codes: jax.Array,  # [b, hd, S*nkv] int8 (POS-MAJOR flat: lane = pos*nkv + head)
+    k_scales: jax.Array,  # [b, hd // bs_k, S*nkv] f32
+    v_codes: jax.Array,  # [b, hd, S*nkv] int8 (transposed like K — r4 layout)
+    v_scales: jax.Array,  # [b, hd // bs_v, S*nkv] f32
     positions: jax.Array,  # [b] int32: last valid cache index (inclusive)
     bs_k: int,
     bs_v: int,
+    nkv: int,
     rep: int = 1,
     prob_q: tuple | None = None,  # (bs, width, exp_width, exp_bias) | None
     exact_q: bool = True,  # q is block_fp-quantized with <= 8 mantissa bits
     interpret: bool = False,
 ) -> jax.Array:
     """Decode attention over the POS-MAJOR packed cache, one program per
-    batch element -> ctx [b, nh, hd] f32. See ``_attn_kernel_batch``."""
+    batch element -> ctx [b, nh, hd] f32. See ``_attn_kernel_batch``.
+
+    All four cache operands are stored FLAT [b, rows, S*nkv]: every minor
+    dim is the lane axis (multiple of 128 at any power-of-two max_len), so
+    nothing tile-pads in HBM and the pallas_call consumes the stored arrays
+    directly (the r3 4-D layouts padded up to 16x and cost a relayout copy
+    per layer per step — the OOM'd batch-32 7B decode's biggest temps)."""
     b, nh, hd = q.shape
-    _, _, s_len, nkv = k_codes.shape
+    lanes = k_codes.shape[2]
+    s_len = lanes // nkv
     assert nh == nkv * rep, (nh, nkv, rep)
-    lanes = s_len * nkv
     nh_p = max(8, -(-nh // 8) * 8)  # pad rows to a sublane tile
     if nh_p != nh:
         q = jnp.pad(q, ((0, 0), (0, nh_p - nh), (0, 0)))
@@ -297,8 +311,8 @@ def packed_attention_decode_batch(
             pl.BlockSpec((1, nh_p, hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, hd, lanes), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, k_scales.shape[1], lanes), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, lanes, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, lanes, v_scales.shape[3]), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hd, lanes), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, v_scales.shape[1], lanes), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nh_p, hd), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nh_p, hd), jnp.float32),
@@ -307,10 +321,10 @@ def packed_attention_decode_batch(
     )(
         positions.astype(jnp.int32).reshape(b),
         q,
-        k_codes.reshape(b, hd, lanes),
-        k_scales.reshape(b, k_scales.shape[1], lanes),
-        v_codes.reshape(b, lanes, hd),
-        v_scales.reshape(b, lanes, v_scales.shape[3]),
+        k_codes,
+        k_scales,
+        v_codes,
+        v_scales,
     )
     return out[:, :nh]
 

@@ -115,7 +115,11 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scales_ref, o_ref, *, block: int,
     # VPU than the f32 path (tools/kvariants.py: bit-exact, ~8% faster)
     codes = codes_ref[:].astype(jnp.bfloat16)  # [bn, bk]
     scales = scales_ref[0]  # [bn, bk // block]
-    w = codes * _expand_scales(scales, block, 0).astype(jnp.bfloat16)
+    # bf16 one-hot expand: BFP scales are powers of two (exact in bf16) and
+    # the f32 expand dot ran ~6x the main dot's MXU passes at decode M
+    w = codes * _expand_scales(
+        scales.astype(jnp.bfloat16), block, dtype=jnp.bfloat16
+    )
     x = x_ref[:]
     if actq is not None:
         x = _qdq_lanes_signed(x, *actq, interpret)

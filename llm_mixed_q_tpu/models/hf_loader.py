@@ -118,7 +118,9 @@ def init_llama_params(config, task: str = "lm", seed: int = 0) -> dict:
     kvh = config.num_key_value_heads * config.head_dim
 
     def w(*shape, scale=0.02):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # direct f32 generation: the f64 path generated 27GB of doubles for a
+        # 7B init (444s of the 1500s bench budget on this box)
+        return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     layers = []
     for _ in range(config.num_hidden_layers):
@@ -158,7 +160,9 @@ def init_opt_params(config, task: str = "lm", seed: int = 0) -> dict:
     h, ffn, v = config.hidden_size, config.ffn_dim, config.vocab_size
 
     def w(*shape, scale=0.02):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # direct f32 generation: the f64 path generated 27GB of doubles for a
+        # 7B init (444s of the 1500s bench budget on this box)
+        return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     def lin(out, inp):
         return {"weight": w(out, inp), "bias": np.zeros(out, np.float32)}
@@ -199,7 +203,9 @@ def init_bert_params(config, task: str = "cls", seed: int = 0) -> dict:
     h, inter, v = config.hidden_size, config.intermediate_size, config.vocab_size
 
     def w(*shape, scale=0.02):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # direct f32 generation: the f64 path generated 27GB of doubles for a
+        # 7B init (444s of the 1500s bench budget on this box)
+        return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     def lin(out, inp):
         return {"weight": w(out, inp), "bias": np.zeros(out, np.float32)}

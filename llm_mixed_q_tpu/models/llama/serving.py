@@ -66,37 +66,40 @@ class PackedKVCache(NamedTuple):
 
     Two layouts, chosen at init (``pos_major``):
 
-    - POS-MAJOR (``nkv * max_len <= BATCH_KERNEL_MAX_LANES``): lanes hold
-      (kv position, head) so the batch-folded decode kernel reads one flat
-      [hd, S*nkv] slab per batch element (one grid cell per batch element
-      instead of one per (batch, head) — see attention_decode.py
-      ``_attn_kernel_batch``). A decode append is a CONTIGUOUS
-      dynamic_update_slice of all heads at once.
+    - POS-MAJOR (``nkv * max_len <= BATCH_KERNEL_MAX_LANES``): every array
+      is FLAT [b, rows, S*nkv] with lane = kv_pos * nkv + head, so the
+      batch-folded decode kernel reads the stored arrays directly (one grid
+      cell per batch element — attention_decode.py ``_attn_kernel_batch``).
+      Both K and V are stored transposed ([hd, lanes]); the context matmul
+      contracts V's lane axis in A@B^T form. A decode append is one
+      contiguous ``nkv``-lane dynamic_update_slice per array. The minor dim
+      is always a multiple of 128, so nothing tile-pads in HBM — the r3
+      4-D layouts ([b, S, nkv, hd//bs] etc.) padded 4-16x at rest AND cost
+      a relayout copy per layer per step feeding the kernel (the dominant
+      HLO temps of the OOM'd batch-32 7B decode).
     - HEAD-MAJOR (longer caches): per-head [hd, max_len] K slabs for the
-      per-(batch, head) kernel, whose VMEM footprint is independent of nkv.
-
-    K is stored TRANSPOSED (head_dim before the kv axis) in both layouts so
-    the score matmul is a standard MXU op with the kv axis on lanes. V is
-    natural-order for the context matmul. Quantization blocks are along
-    head_dim on both.
+      per-(batch, head) kernel, whose VMEM footprint is independent of nkv;
+      V natural-order [S, hd]. Quantization blocks are along head_dim in
+      both layouts.
 
     Each field is a TUPLE of per-layer arrays, not one stacked [L, ...]
     array: a stacked cache forces a slice copy per layer feeding the Pallas
     call plus a full-cache jnp.stack copy per step (measured ~1.2GB of temp
     buffers at 4 layers x 2k context); per-layer leaves update in place."""
 
-    k_codes: tuple  # L x int8 [b, hd, S, nkv] pos-major | [b, nkv, hd, S] head-major
-    k_scales: tuple  # L x f32 [b, hd//bs_k, S, nkv] | [b, nkv, hd//bs_k, S]
-    v_codes: tuple  # L x int8 [b, S, nkv, hd] | [b, nkv, S, hd]
-    v_scales: tuple  # L x f32 [b, S, nkv, hd//bs_v] | [b, nkv, S, hd//bs_v]
+    k_codes: tuple  # L x int8 [b, hd, S*nkv] pos-major | [b, nkv, hd, S] head-major
+    k_scales: tuple  # L x f32 [b, hd//bs_k, S*nkv] | [b, nkv, hd//bs_k, S]
+    v_codes: tuple  # L x int8 [b, hd, S*nkv] | [b, nkv, S, hd]
+    v_scales: tuple  # L x f32 [b, hd//bs_v, S*nkv] | [b, nkv, S, hd//bs_v]
     bs_k: int  # static
     bs_v: int  # static
     pos_major: bool = True  # static
+    nkv: int = 0  # static; needed to split the flat lane axis (pos-major)
 
     @property
     def max_len(self) -> int:
         return (
-            self.v_codes[0].shape[1]
+            self.v_codes[0].shape[2] // self.nkv
             if self.pos_major
             else self.v_codes[0].shape[2]
         )
@@ -106,7 +109,7 @@ jax.tree_util.register_pytree_node(
     PackedKVCache,
     lambda c: (
         (c.k_codes, c.k_scales, c.v_codes, c.v_scales),
-        (c.bs_k, c.bs_v, c.pos_major),
+        (c.bs_k, c.bs_v, c.pos_major, c.nkv),
     ),
     lambda aux, leaves: PackedKVCache(*leaves, *aux),
 )
@@ -158,18 +161,18 @@ def init_packed_kv_cache(
     nkv, hd = config.num_key_value_heads, config.head_dim
     pos_major = nkv * max_len <= BATCH_KERNEL_MAX_LANES
     if pos_major:
+        lanes = max_len * nkv
         return PackedKVCache(
-            tuple(jnp.zeros((batch, hd, max_len, nkv), jnp.int8)
+            tuple(jnp.zeros((batch, hd, lanes), jnp.int8) for _ in range(L)),
+            tuple(jnp.zeros((batch, hd // bs_k, lanes), jnp.float32)
                   for _ in range(L)),
-            tuple(jnp.zeros((batch, hd // bs_k, max_len, nkv), jnp.float32)
-                  for _ in range(L)),
-            tuple(jnp.zeros((batch, max_len, nkv, hd), jnp.int8)
-                  for _ in range(L)),
-            tuple(jnp.zeros((batch, max_len, nkv, hd // bs_v), jnp.float32)
+            tuple(jnp.zeros((batch, hd, lanes), jnp.int8) for _ in range(L)),
+            tuple(jnp.zeros((batch, hd // bs_v, lanes), jnp.float32)
                   for _ in range(L)),
             bs_k,
             bs_v,
             True,
+            nkv,
         )
     return PackedKVCache(
         tuple(jnp.zeros((batch, nkv, hd, max_len), jnp.int8) for _ in range(L)),
@@ -185,6 +188,7 @@ def init_packed_kv_cache(
         bs_k,
         bs_v,
         False,
+        nkv,
     )
 
 
@@ -258,37 +262,44 @@ def _append_and_read(cache_layer, k, v, positions, mm0_cfg, mm1_cfg, pack_spec,
 
     if pos_major:
         # pos-major: K [b, hd, S, nkv]; V [b, S, nkv, hd] — a decode append
-        # touches ALL heads at position p in one contiguous slice
-        k_new = k_codes.transpose(0, 3, 2, 1)  # [b, hd, 1, nkv]
-        ks_new = k_scales.transpose(0, 3, 2, 1)  # [b, nb, 1, nkv]
-        v_new = v_codes.transpose(0, 2, 1, 3)  # [b, 1, nkv, hd]
-        vs_new = v_scales.transpose(0, 2, 1, 3)  # [b, 1, nkv, nb]
+        # touches ALL heads at position p in one contiguous nkv-lane slice
+        # (flat layout: every array [b, rows, S*nkv], lane = pos*nkv + head)
+        nkv = k_codes.shape[1]
+        k_new = k_codes[:, :, 0, :].transpose(0, 2, 1)  # [b, hd, nkv]
+        ks_new = k_scales[:, :, 0, :].transpose(0, 2, 1)  # [b, nb, nkv]
+        v_new = v_codes[:, :, 0, :].transpose(0, 2, 1)  # [b, hd, nkv]
+        vs_new = v_scales[:, :, 0, :].transpose(0, 2, 1)  # [b, nb, nkv]
         if uniform:
-            kc = jax.lax.dynamic_update_slice(kc, k_new, (0, 0, positions, 0))
-            ks = jax.lax.dynamic_update_slice(ks, ks_new, (0, 0, positions, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v_new, (0, positions, 0, 0))
-            vs = jax.lax.dynamic_update_slice(vs, vs_new, (0, positions, 0, 0))
+            lane0 = positions * nkv
+            kc = jax.lax.dynamic_update_slice(kc, k_new, (0, 0, lane0))
+            ks = jax.lax.dynamic_update_slice(ks, ks_new, (0, 0, lane0))
+            vc = jax.lax.dynamic_update_slice(vc, v_new, (0, 0, lane0))
+            vs = jax.lax.dynamic_update_slice(vs, vs_new, (0, 0, lane0))
         else:
-            def upd_k(buf, new, p):
-                # buf [hd, S, nkv]; new [hd, 1, nkv]
-                return jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
+            def upd(buf, new, p):
+                # buf [rows, S*nkv]; new [rows, nkv]
+                return jax.lax.dynamic_update_slice(buf, new, (0, p * nkv))
 
-            def upd_v(buf, new, p):
-                # buf [S, nkv, hd]; new [1, nkv, hd]
-                return jax.lax.dynamic_update_slice(buf, new, (p, 0, 0))
-
-            kc = jax.vmap(upd_k)(kc, k_new, positions)
-            ks = jax.vmap(upd_k)(ks, ks_new, positions)
-            vc = jax.vmap(upd_v)(vc, v_new, positions)
-            vs = jax.vmap(upd_v)(vs, vs_new, positions)
+            kc = jax.vmap(upd)(kc, k_new, positions)
+            ks = jax.vmap(upd)(ks, ks_new, positions)
+            vc = jax.vmap(upd)(vc, v_new, positions)
+            vs = jax.vmap(upd)(vs, vs_new, positions)
         if keep_packed:
             return (kc, ks, vc, vs), None, None
         # XLA fallback (CPU/tests): dequantize + relayout to the einsum's
         # [b, nkv, hd, S] / [b, nkv, S, hd]
+        b_, hd_, lanes_ = kc.shape
+        s_len_ = lanes_ // nkv
         k_all_t = (
-            kc.astype(jnp.float32) * jnp.repeat(ks, bs_k, axis=1)
-        ).transpose(0, 3, 1, 2)
-        v_all = bfp_decode_lastdim(vc, vs, bs_v).transpose(0, 2, 1, 3)
+            (kc.astype(jnp.float32) * jnp.repeat(ks, bs_k, axis=1))
+            .reshape(b_, hd_, s_len_, nkv)
+            .transpose(0, 3, 1, 2)
+        )
+        v_all = (
+            (vc.astype(jnp.float32) * jnp.repeat(vs, bs_v, axis=1))
+            .reshape(b_, hd_, s_len_, nkv)
+            .transpose(0, 3, 2, 1)
+        )
         return (kc, ks, vc, vs), k_all_t, v_all
 
     # head-major: K is cached transposed ([..., hd/nb, max_len])
@@ -355,7 +366,7 @@ def _attention_cached(
     if pack_spec is None:
         max_len = cache_layer.shape[3]
     elif pos_major:
-        max_len = cache_layer[2].shape[1]
+        max_len = cache_layer[2].shape[2] // config.num_key_value_heads
     else:
         max_len = cache_layer[2].shape[2]
     qc = partial(_node_cfg, config.quant_config, layer_idx, "self_attn")
@@ -435,6 +446,7 @@ def _attention_cached(
                 positions_b,
                 pack_spec[0],
                 pack_spec[1],
+                nkv=nkv,
                 rep=rep,
                 prob_q=prob_q_spec(qc("matmul_1"), max_len),
                 exact_q=exact_q,
@@ -583,6 +595,7 @@ def decode_step(
             cache.bs_k,
             cache.bs_v,
             cache.pos_major,
+            cache.nkv,
         )
     else:
         out_cache = jnp.stack(new_cache)
@@ -611,32 +624,32 @@ def prefill_into_cache(params, input_ids, attention_mask, cache, config,
             kc, ks = _encode_kv(k, qc("matmul_0"), cache.bs_k)  # [b,nkv,S,·]
             vc, vs = _encode_kv(v, qc("matmul_1"), cache.bs_v)
             if cache.pos_major:
-                # K [b, hd, S, nkv] / V [b, S, nkv, hd]
-                kc_t = kc.transpose(0, 3, 2, 1)
-                ks_t = ks.transpose(0, 3, 2, 1)
-                vc = vc.transpose(0, 2, 1, 3)
-                vs = vs.transpose(0, 2, 1, 3)
+                # flat [b, rows, S_p*nkv], lane = pos*nkv + head: transpose
+                # [b, nkv, S_p, d] -> [b, d, S_p, nkv], merge (S_p, nkv)
+                def flat(x):
+                    b_, nk_, sp_, d_ = x.shape
+                    return x.transpose(0, 3, 2, 1).reshape(b_, d_, sp_ * nk_)
+
+                kc_t, ks_t = flat(kc), flat(ks)
+                vc, vs = flat(vc), flat(vs)
             else:
                 # K is cached transposed [..., hd/nb, max_len]
                 kc_t = jnp.swapaxes(kc, 2, 3)
                 ks_t = jnp.swapaxes(ks, 2, 3)
 
             def put(leaves, new):
-                at = (0, 0, 0, 0)
+                at = (0,) * new.ndim
                 return (
                     leaves[:i]
                     + (jax.lax.dynamic_update_slice(leaves[i], new, at),)
                     + leaves[i + 1:]
                 )
 
-            cache = PackedKVCache(
-                put(cache.k_codes, kc_t),
-                put(cache.k_scales, ks_t),
-                put(cache.v_codes, vc),
-                put(cache.v_scales, vs),
-                cache.bs_k,
-                cache.bs_v,
-                cache.pos_major,
+            cache = cache._replace(
+                k_codes=put(cache.k_codes, kc_t),
+                k_scales=put(cache.k_scales, ks_t),
+                v_codes=put(cache.v_codes, vc),
+                v_scales=put(cache.v_scales, vs),
             )
         else:
             kq, vq = _quantize_kv_append(k, v, qc("matmul_0"), qc("matmul_1"))
@@ -986,17 +999,21 @@ class ContinuousBatcher:
         else:
             def write_slot(cache, slot_cache, slot):
                 # each leaf: cache [S, ...max_len-extent...], tmp [1, ...bucket...]
+                # (pos-major flat leaves align too: the bucket cache's lanes
+                # are exactly the first bucket*nkv lanes of the slot row)
                 def put(buf, new):
                     start = (slot,) + (0,) * (buf.ndim - 1)
                     return jax.lax.dynamic_update_slice(buf, new, start)
 
-                return PackedKVCache(
-                    *(
-                        tuple(put(b, n) for b, n in zip(bufs, news))
-                        for bufs, news in zip(cache[:4], slot_cache[:4])
-                    ),
-                    cache.bs_k,
-                    cache.bs_v,
+                return cache._replace(
+                    **{
+                        f: tuple(put(b, n) for b, n in zip(bufs, news))
+                        for f, bufs, news in zip(
+                            ("k_codes", "k_scales", "v_codes", "v_scales"),
+                            cache[:4],
+                            slot_cache[:4],
+                        )
+                    }
                 )
 
         self._write_slot = jax.jit(write_slot, donate_argnums=(0,))

@@ -149,9 +149,13 @@ def make_variant(config, variant):
             out = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
         else:
             out = (jnp.sum(hidden[:, 0], axis=-1) > 0)[:, None].astype(jnp.int32)
-        out_cache = S.PackedKVCache(
-            *(tuple(lc[j] for lc in new_cache) for j in range(4)),
-            cache.bs_k, cache.bs_v, cache.pos_major,
+        out_cache = cache._replace(
+            **{
+                f: tuple(lc[j] for lc in new_cache)
+                for j, f in enumerate(
+                    ("k_codes", "k_scales", "v_codes", "v_scales")
+                )
+            }
         )
         return out, out_cache
 

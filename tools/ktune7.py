@@ -98,7 +98,8 @@ def main():
         ws = [jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.float32)
               for _ in range(NROT)]
         if "int8" in which:
-            packs = [pack_block_fp(w, 6, 8, 127, [1, 16]) for w in ws]
+            packs = [pack_block_fp(w, 6, 8, 127, [1, 16], k_stride=1024)
+                     for w in ws]
             nb = packed_nbytes(packs[0])
             for bn, bk in ((1024, 1024), (2048, 1024), (2048, 2048),
                            (4096, 1024), (1024, 2048)):

@@ -232,6 +232,9 @@ def main():
         ("int8 bn1024 bk512", dict(bn=1024, bk=512)),
         ("int8 bn1024 bk1024 j_inner", dict(bn=1024, bk=1024, j_inner=True)),
         ("int8 bn2048 bk512", dict(bn=2048, bk=512)),
+        ("int8 bn512 bk4096", dict(bn=512, bk=4096)),
+        ("int8 bn256 bk4096", dict(bn=256, bk=4096)),
+        ("int8 bn512 bk2048", dict(bn=512, bk=2048)),
     ]:
         probe(name, p8s, lambda x, p, kw=kw: int8_call(x, p, **kw), nb8)
     del p8s
