@@ -441,8 +441,12 @@ def stage_decode_7b(on_tpu):
     for b in ((batch, 2 * batch, 4 * batch) if on_tpu else (batch,)):
         if b != batch and remaining() < 300:
             break
-        cache = init_packed_kv_cache(config, b, max_len, spec)
-        t = bench_decode(run, packed, cache, b, steps, reps)
+        try:
+            cache = init_packed_kv_cache(config, b, max_len, spec)
+            t = bench_decode(run, packed, cache, b, steps, reps)
+        except Exception as e:  # e.g. HBM OOM at the largest batch
+            log(f"7B decode @batch {b} failed: {type(e).__name__}")
+            break
         RESULT["extra"][f"decode_7b_tok_s_b{b}"] = round(t, 1)
         log(f"7B packed decode @batch {b}: {t:.1f} tok/s")
         if t > tok_s:

@@ -528,6 +528,109 @@ def seven_b_shape_arm(batch=2, seq=64):
                 ),
             }
             del packed, got
+        out["note_logit_parity"] = (
+            "end-to-end logits through 32 RANDOM-init layers amplify any "
+            "correct-but-reordered f32 accumulation chaotically (~x2-3 per "
+            "layer; 1e-6 platform deltas fully decorrelate 32000-way "
+            "argmax) — per_layer_parity below is the fair per-op evidence"
+        )
+
+        # TEACHER-FORCED per-layer parity: both paths get the SAME oracle
+        # layer input, so nothing amplifies. packed-vs-fake ON CHIP isolates
+        # exactly the packed-storage + fused-kernel deviation (platform
+        # matmul precision is common-mode); chip-fake vs the CPU oracle is
+        # reported as the platform-precision context.
+        print("7B-shape: per-layer teacher-forced parity…", flush=True)
+        from llm_mixed_q_tpu.models.llama.modeling import (
+            decoder_layer,
+            make_causal_mask,
+            rope_tables,
+        )
+        from llm_mixed_q_tpu.models.pack_common import pack_linear_node
+
+        rng2 = np.random.default_rng(1)
+        h_in = jnp.asarray(
+            rng2.standard_normal((batch, seq, 4096), np.float32) * 0.5
+        )
+        mask_f = make_causal_mask(mask, seq, seq)
+        cos, sin = rope_tables(seq, cfg.head_dim, cfg.rope_theta)
+        pos = jnp.arange(seq)[None, :].repeat(batch, 0)
+        per_layer = {}
+        for li in (0, 15, 31):
+            lp = params["layers"][li]
+            lf = jax.jit(
+                lambda p, h, qw: decoder_layer(
+                    p, h, mask_f, pos, cos, sin, cfg, li, qw
+                )[0],
+                static_argnums=(2,),
+            )
+            # fake-quant oracle layer, CPU f32 (highest precision)
+            with jax.default_device(cpu):
+                ref_l = np.asarray(lf(lp, h_in, True))
+            # packed layer on chip (the serving path's linears)
+            packed_l = jax.device_put(
+                {
+                        "input_layernorm": lp["input_layernorm"],
+                        "post_attention_layernorm": lp[
+                            "post_attention_layernorm"
+                        ],
+                        "self_attn": {
+                            n: pack_linear_node(
+                                lp["self_attn"][n],
+                                node_cfg["self_attn"][n],
+                                subbyte=False,
+                                host=True,
+                            )
+                            for n in ("q_proj", "k_proj", "v_proj", "o_proj")
+                        },
+                        "mlp": {
+                            n: pack_linear_node(
+                                lp["mlp"][n], node_cfg["mlp"][n],
+                                subbyte=False, host=True,
+                            )
+                            for n in ("gate_proj", "up_proj", "down_proj")
+                        },
+                }
+            )
+            got_pack = np.asarray(lf(packed_l, jax.device_put(h_in), False))
+            # fake-quant layer ON CHIP: platform-precision context (quantize
+            # on host CPU — eager chip ops are compile-RPC-bound here)
+            with jax.default_device(cpu):
+                fake_l = {
+                    "input_layernorm": lp["input_layernorm"],
+                    "post_attention_layernorm": lp[
+                        "post_attention_layernorm"
+                    ],
+                    "self_attn": {
+                        n: {"weight": np.asarray(quantize_weight(
+                            jnp.asarray(lp["self_attn"][n]["weight"]),
+                            node_cfg["self_attn"][n]))}
+                        for n in ("q_proj", "k_proj", "v_proj", "o_proj")
+                    },
+                    "mlp": {
+                        n: {"weight": np.asarray(quantize_weight(
+                            jnp.asarray(lp["mlp"][n]["weight"]),
+                            node_cfg["mlp"][n]))}
+                        for n in ("gate_proj", "up_proj", "down_proj")
+                    },
+                }
+            fake_l = jax.device_put(fake_l)
+            got_fake = np.asarray(lf(fake_l, jax.device_put(h_in), False))
+            denom = np.abs(ref_l) + 1e-6
+            per_layer[f"layer_{li}"] = {
+                "packed_vs_chip_fake_max_rel": float(
+                    np.max(np.abs(got_pack - got_fake) / (np.abs(got_fake) + 1e-6))
+                ),
+                "chip_fake_vs_cpu_oracle_max_rel": float(
+                    np.max(np.abs(got_fake - ref_l) / denom)
+                ),
+                "packed_vs_cpu_oracle_max_rel": float(
+                    np.max(np.abs(got_pack - ref_l) / denom)
+                ),
+            }
+            print(f"  layer {li}: {per_layer[f'layer_{li}']}", flush=True)
+            del packed_l, fake_l
+        out["per_layer_parity"] = per_layer
     else:
         out["logit_parity"] = "skipped (no TPU in this run)"
     del params
