@@ -6,6 +6,7 @@ from .dequant_matmul import (
 from .packing import (
     PackedBFP,
     PackedBFPSub,
+    PackedBFPSubT,
     bfp_decode_lastdim,
     bfp_encode_lastdim,
     effective_block_len,

@@ -62,16 +62,30 @@ def _exp2_exact(e):
 
 
 def _expand_scales_sublane(scales, block: int):
-    """[nb, S] per-block scales -> [nb*block, S]: one-hot expansion matmul
-    over the SUBLANE axis (transposed twin of dequant_matmul._expand_scales)."""
-    nb = scales.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb * block, nb), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb * block, nb), 1)
-    expand = (rows // block == cols).astype(jnp.float32)
-    return jax.lax.dot_general(
-        expand, scales, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """[nb, S] per-block scales -> [nb*block, S] over the SUBLANE axis.
+
+    broadcast + merge-reshape: the lane dim is untouched, so the reshape is
+    a layout no-op and the broadcast a native sublane op. Round 4 did this
+    with a one-hot MXU dot ([nb*block, nb] @ [nb, S]) whose K=nb pads to a
+    full MXU pass — measured ~1.3us per [128, 8192] expansion, which at
+    2 expansions x 32 batch elements was ~45% of the whole decode-attention
+    kernel (tools/ksub.py round-5 attribution; same disease as the weight
+    kernels' lane-axis expand)."""
+    nb, lanes = scales.shape
+    return jax.lax.broadcast_in_dim(
+        scales, (nb, block, lanes), (0, 2)
+    ).reshape(nb * block, lanes)
+
+
+def _dequant_sublane(codes, scales, block: int, dt):
+    """codes [rows, L] x per-block scales [rows // block, L] -> [rows, L]
+    dequantized, with the K/V quant blocks along SUBLANES.
+
+    ``jnp.repeat`` along the sublane axis is the fast expansion primitive
+    under Mosaic (tools/kexp.py shootout, on-chip: ~free vs ~1.3us for the
+    round-4 one-hot expansion dot, whose K=nb pads to a full MXU pass; the
+    3-D broadcast-multiply forms measured ~8-20us — avoid them)."""
+    return codes.astype(dt) * jnp.repeat(scales.astype(dt), block, axis=0)
 
 
 def _roll_lanes(x, shift: int, interpret: bool):
@@ -120,8 +134,13 @@ def _quantize_probs_lanes(p, bs: int, width: int, exponent_width: int,
     # the all-zero-block (fully masked) value exact anyway
     exponent = jnp.clip(jnp.ceil(jnp.log2(pm)), emin, emax)
     two_e = _exp2_exact(exponent)
-    mant = jnp.clip(jnp.round((p + 1e-9) / two_e * shift), 0.0, mantissa_max)
-    q = two_e * (mant / shift)
+    # divide by 2^e as a multiply by the bit-constructed inverse (exact for
+    # power-of-two scales; probs <= 1 keep e <= 0 so -e stays normal) — the
+    # VPU's vector divide is many-cycle
+    inv_e = _exp2_exact(-exponent)
+    mant = jnp.clip(jnp.round((p + 1e-9) * (inv_e * shift)), 0.0,
+                    mantissa_max)
+    q = two_e * (mant * (1.0 / shift))
     return jnp.where(p <= _ATOL, p, q)
 
 
@@ -159,8 +178,12 @@ def _quantize_probs_strided(p, bs: int, width: int, exponent_width: int,
 
     exponent = jnp.clip(jnp.ceil(jnp.log2(pm)), emin, emax)
     two_e = _exp2_exact(exponent)
-    mant = jnp.clip(jnp.round((p + 1e-9) / two_e * shift), 0.0, mantissa_max)
-    q = two_e * (mant / shift)
+    # power-of-two divide as exact inverse multiply (see
+    # _quantize_probs_lanes)
+    inv_e = _exp2_exact(-exponent)
+    mant = jnp.clip(jnp.round((p + 1e-9) * (inv_e * shift)), 0.0,
+                    mantissa_max)
+    q = two_e * (mant * (1.0 / shift))
     return jnp.where(p <= _ATOL, p, q)
 
 
@@ -188,8 +211,7 @@ def _attn_kernel_batch(pos_ref, q_ref, kct_ref, kst_ref, vc_ref, vs_ref,
     accumulation order can differ from the XLA path; f32 otherwise."""
     pos = pos_ref[pl.program_id(0)]
 
-    kexp = _expand_scales_sublane(kst_ref[0], bs_k).astype(dt)  # [hd, L]
-    kd = kct_ref[0].astype(dt) * kexp
+    kd = _dequant_sublane(kct_ref[0], kst_ref[0], bs_k, dt)  # [hd, L]
     q = q_ref[0].astype(dt)  # [nh_p, hd]
     st = jax.lax.dot_general(
         q, kd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -214,9 +236,7 @@ def _attn_kernel_batch(pos_ref, q_ref, kct_ref, kst_ref, vc_ref, vs_ref,
     # relayout copy per layer per step); dequant = sublane expand, and the
     # context matmul contracts the L axis of both operands (A @ B^T form,
     # native on the MXU — no transpose materializes)
-    vdt = vc_ref[0].astype(dt) * _expand_scales_sublane(
-        vs_ref[0], bs_v
-    ).astype(dt)  # [hd, L]
+    vdt = _dequant_sublane(vc_ref[0], vs_ref[0], bs_v, dt)  # [hd, L]
     o_ref[0] = jax.lax.dot_general(
         p.astype(dt), vdt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -167,7 +167,7 @@ def unpack_block_fp(p: PackedBFP, dtype=jnp.float32) -> jax.Array:
 
 
 def packed_nbytes(p) -> int:
-    if isinstance(p, PackedBFPSub):
+    if isinstance(p, (PackedBFPSub, PackedBFPSubT)):
         return 4 * int(np.prod(p.words.shape)) + int(np.prod(p.scales.shape))
     return int(np.prod(p.codes.shape)) + 4 * int(np.prod(p.scales.shape))
 
@@ -341,6 +341,105 @@ def pack_block_fp_subbyte(
         out_features,
         in_features,
     )
+
+
+class PackedBFPSubT(NamedTuple):
+    """Bit-packed BFP tensor, TRANSPOSED layout: K on SUBLANES (rows), out
+    features on lanes (cols). The round-5 shipping weight format.
+
+    Why: dequantizing the lane-major layout needs per-block scales expanded
+    along the LANE axis, where Mosaic's only primitive is a one-hot MXU dot
+    whose K=nb pads to a full MXU pass — measured ~42% of the big-N kernel
+    time at decode M (tools/ksub.py: gate_up 250us vs 146us with the
+    expansion knocked out). With K on sublanes the expansion is
+    ``jnp.repeat(scales, block, axis=0)`` — effectively free
+    (tools/kexp.py) — and the main dot is a standard A@B contraction
+    (x lanes x w sublanes). gate_up measured 250 -> 172us (0.60 of HBM
+    peak) on chip.
+
+    ``words``: row r of packing tile t (rows t*SLICE..) packs per_word
+    codes; shift j extracts K-slice rows [t*tile + j*SLICE, ...+SLICE).
+    ``scales``: row t*(tile//block) + b = the [1, block] K-block b of tile
+    t, as uint8 biased exponents (2^(u8-128), see PackedBFPSub)."""
+
+    words: jax.Array  # uint32 [K_padded // per_word, out]
+    scales: jax.Array  # uint8 [K_padded // block, out]: 2^(u8-128)
+    width: int
+    block_size: int
+    out_features: int
+    in_features: int  # un-padded
+
+    @property
+    def mantissa_bits(self) -> int:
+        return self.width - 1
+
+    @property
+    def per_word(self) -> int:
+        return 32 // self.width
+
+    @property
+    def tile(self) -> int:
+        return self.per_word * _SLICE
+
+
+jax.tree_util.register_pytree_with_keys(
+    PackedBFPSubT,
+    lambda p: (
+        (("words_t", p.words), ("scales_t", p.scales)),
+        (p.width, p.block_size, p.out_features, p.in_features),
+    ),
+    lambda aux, leaves: PackedBFPSubT(*leaves, *aux),
+)
+
+
+def transpose_subbyte(p: PackedBFPSub, xp=jnp) -> PackedBFPSubT:
+    """PackedBFPSub -> the transposed layout (pure transposes, bit-identical
+    content). ``xp=np`` keeps host-packed numpy leaves on the host."""
+    words_t = xp.ascontiguousarray(p.words.T) if xp is not jnp else p.words.T
+    nt, out, spb = p.scales.shape  # [n_tiles, out, tile // block]
+    scales_t = p.scales.transpose(0, 2, 1).reshape(nt * spb, out)
+    if xp is not jnp:
+        scales_t = xp.ascontiguousarray(scales_t)
+    return PackedBFPSubT(
+        words_t, scales_t, p.width, p.block_size, p.out_features,
+        p.in_features,
+    )
+
+
+def pack_block_fp_subbyte_t(
+    w: jax.Array,
+    width: int,
+    exponent_width: int = 8,
+    exponent_bias=None,
+    block_size=16,
+) -> PackedBFPSubT:
+    """Quantize + bit-pack a [out, in] weight into the transposed layout."""
+    return transpose_subbyte(
+        pack_block_fp_subbyte(w, width, exponent_width, exponent_bias,
+                              block_size)
+    )
+
+
+def unpack_block_fp_subbyte_t(p: PackedBFPSubT, dtype=jnp.float32) -> jax.Array:
+    """Reference dequant of the transposed format (CPU/fallback path)."""
+    nw, out = p.words.shape
+    per_word, width = p.per_word, p.width
+    nt = nw // _SLICE
+    words = p.words.reshape(nt, 1, _SLICE, out)
+    shifts = (width * jnp.arange(per_word, dtype=jnp.uint32))[
+        None, :, None, None
+    ]
+    mask = jnp.uint32(2**width - 1)
+    cmax = 2 ** (width - 1) - 1
+    codes = ((words >> shifts) & mask).astype(jnp.int32) - cmax
+    codes = codes.reshape(nt * per_word * _SLICE, out)  # [K_padded, out]
+    nb = codes.shape[0] // p.block_size
+    scales = scale_from_e8(p.scales)  # [nb, out]
+    wt = (
+        codes.astype(jnp.float32).reshape(nb, p.block_size, out)
+        * scales[:, None, :]
+    ).reshape(-1, out)[: p.in_features]
+    return wt.T.astype(dtype)
 
 
 def unpack_block_fp_subbyte(p: PackedBFPSub, dtype=jnp.float32) -> jax.Array:

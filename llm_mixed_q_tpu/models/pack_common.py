@@ -18,9 +18,11 @@ from ..kernels.packing import (
     _SLICE,
     PackedBFP,
     PackedBFPSub,
+    PackedBFPSubT,
     effective_block_len,
     pack_block_fp,
     pack_block_fp_subbyte,
+    transpose_subbyte,
 )
 from ..ops.linear import quantize_bias, quantize_weight
 
@@ -84,6 +86,16 @@ def _concat_packed(packed_list):
     )
 
 
+def _to_t(p):
+    """PackedBFPSub -> the transposed serving layout (PackedBFPSubT, the
+    round-5 shipping format — see packing.PackedBFPSubT); numpy leaves stay
+    on the host."""
+    if not isinstance(p, PackedBFPSub):
+        return p
+    xp = np if isinstance(p.words, np.ndarray) else jnp
+    return transpose_subbyte(p, xp=xp)
+
+
 def pack_fused_nodes(
     nodes: list[dict],
     cfgs: list[dict],
@@ -128,7 +140,7 @@ def pack_fused_nodes(
             for w in ws
         ]
     fused = {
-        "weight": _concat_packed(packed),
+        "weight": _to_t(_concat_packed(packed)),
         "splits": StaticTuple(w.shape[0] for w in ws),
     }
     if biases[0] is not None:
@@ -164,11 +176,11 @@ def pack_linear_node(
         eb = node_cfg["weight_exponent_bias"]
         use_sub = subbyte and width < 8 and _SLICE % bs == 0
         if host:
-            node["weight"] = _pack_host(w, width, ew, eb, bs, use_sub)
+            node["weight"] = _to_t(_pack_host(w, width, ew, eb, bs, use_sub))
         elif use_sub:
-            node["weight"] = pack_block_fp_subbyte(
+            node["weight"] = _to_t(pack_block_fp_subbyte(
                 w, width, ew, eb, node_cfg["weight_block_size"]
-            )
+            ))
         else:
             node["weight"] = pack_block_fp(
                 w, width, ew, eb, node_cfg["weight_block_size"],

@@ -83,9 +83,9 @@ def quantized_linear(
     instead of the fake-quant path — activations are still quantized per the
     node's data_in config, exactly like the reference semantics.
     """
-    from ..kernels.packing import PackedBFP, PackedBFPSub
+    from ..kernels.packing import PackedBFP, PackedBFPSub, PackedBFPSubT
 
-    if isinstance(w, (PackedBFP, PackedBFPSub)):
+    if isinstance(w, (PackedBFP, PackedBFPSub, PackedBFPSubT)):
         from ..kernels.dequant_matmul import actq_spec, bfp_matmul
 
         # data_in quantizer: folded into the Pallas kernel prologue when the

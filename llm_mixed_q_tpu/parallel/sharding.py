@@ -76,6 +76,16 @@ def _leaf_spec(path, leaf, fsdp: bool) -> P:
         if col and ndim == 1:
             return P("model")
         return P(*([None] * ndim))
+    # transposed sub-byte leaves (PackedBFPSubT, round-5 serving format):
+    # [K-major, out] — out features on the LAST axis for both words and
+    # scales. Registered with explicit key names, so match by path. K-splits
+    # must land on packing-tile boundaries, which a generic row split does
+    # not guarantee -> replicate row-parallel nodes, shard column-parallel
+    # on the out axis.
+    if names[-1] in ("words_t", "scales_t"):
+        if col:
+            return P(None, "model")
+        return P(None, None)
     # sub-byte packed leaves: scales are rank-3 [n_tiles, out, cols]; words
     # are uint32 [out, K/per_word]. K-splits must land on packing-tile
     # boundaries, which a generic row split does not guarantee -> replicate

@@ -259,3 +259,66 @@ def test_k_stride_pack_matches_unstrided(k):
     y_s = bfp_matmul(jnp.asarray(x), strided, use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_b), rtol=1e-5,
                                atol=1e-5)
+
+
+# ------------------------------------------------- transposed sub-byte (r5)
+
+
+def test_subbyte_t_pack_unpack_matches_lane_major():
+    from llm_mixed_q_tpu.kernels.packing import (
+        PackedBFPSubT,
+        pack_block_fp_subbyte_t,
+        unpack_block_fp_subbyte_t,
+    )
+
+    w = _w((48, 1280))
+    sub = pack_block_fp_subbyte(jnp.asarray(w), 6, 8, None, [1, 16])
+    subt = pack_block_fp_subbyte_t(jnp.asarray(w), 6, 8, None, [1, 16])
+    assert isinstance(subt, PackedBFPSubT)
+    assert subt.words.shape == (sub.words.shape[1], sub.words.shape[0])
+    np.testing.assert_array_equal(
+        np.asarray(unpack_block_fp_subbyte(sub)),
+        np.asarray(unpack_block_fp_subbyte_t(subt)),
+    )
+    # pytree round trip keeps the type and aux
+    mapped = jax.tree_util.tree_map(lambda x: x, subt)
+    assert isinstance(mapped, PackedBFPSubT)
+    assert mapped.tile == 640
+
+
+@pytest.mark.parametrize("m,n,k", [(8, 256, 1344), (16, 48, 640)])
+@pytest.mark.parametrize("width", [4, 6])
+def test_subbyte_t_kernel_matches_unpack_matmul(m, n, k, width):
+    from llm_mixed_q_tpu.kernels.packing import (
+        pack_block_fp_subbyte_t,
+        unpack_block_fp_subbyte_t,
+    )
+
+    x_raw = RNG.standard_normal((m, k)).astype(np.float32)
+    x = np.asarray(
+        _block_fp_qdq(jnp.asarray(x_raw), 6, 8, None, [1, 16],
+                      skip_first_dim=True)
+    )
+    w = _w((n, k))
+    subt = pack_block_fp_subbyte_t(jnp.asarray(w), width, 8, None, [1, 16])
+    ref = x @ np.asarray(unpack_block_fp_subbyte_t(subt)).T
+    out = bfp_matmul(jnp.asarray(x), subt, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    fb = bfp_matmul(jnp.asarray(x), subt, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fb), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_subbyte_t_in_kernel_actq_matches_external():
+    from llm_mixed_q_tpu.kernels.packing import (
+        pack_block_fp_subbyte_t,
+        unpack_block_fp_subbyte_t,
+    )
+
+    x = jnp.asarray(RNG.standard_normal((8, 1280)).astype(np.float32))
+    w = _w((64, 1280))
+    subt = pack_block_fp_subbyte_t(jnp.asarray(w), 6, 8, None, [1, 16])
+    xq = _block_fp_qdq(x, 6, 8, None, [1, 16], skip_first_dim=True)
+    ref = np.asarray(xq) @ np.asarray(unpack_block_fp_subbyte_t(subt)).T
+    out = bfp_matmul(x, subt, use_pallas=True, interpret=True,
+                     actq=(16, 6, 8, None))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)

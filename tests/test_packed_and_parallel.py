@@ -69,16 +69,17 @@ def test_param_specs_cover_tree():
     # scales axis 1); row-parallel replicates (K split must not break tiles)
     packed_sub = pack_llama_params(params, config, subbyte=True, fuse=False)
     sspecs = param_specs(packed_sub)
-    from llm_mixed_q_tpu.kernels import PackedBFPSub
+    from llm_mixed_q_tpu.kernels.packing import PackedBFPSubT
 
     q_node = packed_sub["layers"][0]["self_attn"]["q_proj"]["weight"]
-    if isinstance(q_node, PackedBFPSub):
+    if isinstance(q_node, PackedBFPSubT):
+        # transposed layout: out features on the LAST axis of both leaves
         snode = sspecs["layers"][0]["self_attn"]["q_proj"]["weight"]
-        assert snode.words == P("model", None)
-        assert snode.scales == P(None, "model", None)
+        assert snode.words == P(None, "model")
+        assert snode.scales == P(None, "model")
         onode = sspecs["layers"][0]["self_attn"]["o_proj"]["weight"]
         assert onode.words == P(None, None)
-        assert onode.scales == P(None, None, None)
+        assert onode.scales == P(None, None)
 
 
 def test_sharded_forward_8_virtual_devices():

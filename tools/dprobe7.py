@@ -40,7 +40,8 @@ from llm_mixed_q_tpu.models.llama.serving import (
     kv_cache_pack_spec,
 )
 from llm_mixed_q_tpu.kernels.dequant_matmul import bfp_matmul
-from llm_mixed_q_tpu.kernels.packing import packed_nbytes, PackedBFP, PackedBFPSub
+from llm_mixed_q_tpu.kernels.packing import (packed_nbytes, PackedBFP,
+                                              PackedBFPSub, PackedBFPSubT)
 
 
 def arg(flag, default):
@@ -88,9 +89,9 @@ def chain_steps(step_fn, params, cache, batch=BATCH):
 def weight_bytes(packed):
     total = 0
     for leaf in jax.tree.leaves(
-        packed, is_leaf=lambda x: isinstance(x, (PackedBFP, PackedBFPSub))
+        packed, is_leaf=lambda x: isinstance(x, (PackedBFP, PackedBFPSub, PackedBFPSubT))
     ):
-        if isinstance(leaf, (PackedBFP, PackedBFPSub)):
+        if isinstance(leaf, (PackedBFP, PackedBFPSub, PackedBFPSubT)):
             total += packed_nbytes(leaf)
     return total
 

@@ -85,10 +85,12 @@ def chain(call, inputs):
         float(run(q0, kc, ks, vc, vs, pos, n))
         return time.perf_counter() - t0
 
-    t_at(8)
-    lo = min(t_at(8) for _ in range(REPS))
-    hi = min(t_at(64) for _ in range(REPS))
-    return (hi - lo) / 56
+    # hi*per-iter must dwarf the ~25ms tunnel dispatch jitter or the
+    # slope is noise (round-5 finding: 35% run-to-run swings at hi=64)
+    t_at(40)
+    lo = min(t_at(40) for _ in range(REPS))
+    hi = min(t_at(360) for _ in range(REPS))
+    return (hi - lo) / 320
 
 
 # ---------------------------------------------------------------- v2 stages
@@ -115,7 +117,31 @@ def v2_kernel(pos_ref, q_ref, kct_ref, kst_ref, vc_ref, vs_ref, o_ref, *,
     m = jnp.max(st, axis=1, keepdims=True)
     e = jnp.exp(st - m)
     p = e / jnp.sum(e, axis=1, keepdims=True)
-    if stage != "softmax":
+    if stage == "qmax":
+        # butterfly block-max only (no exponent/mantissa math)
+        from llm_mixed_q_tpu.kernels.attention_decode import _roll_lanes
+        pm = p
+        lane = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        pos2 = lane // NKV
+        s = 1
+        while s < 16:
+            high = (pos2 // s) % 2 == 1
+            partner = jnp.where(high, _roll_lanes(pm, s * NKV, False),
+                                _roll_lanes(pm, -s * NKV, False))
+            pm = jnp.maximum(pm, partner)
+            s *= 2
+        p = pm
+    elif stage == "qmath":
+        # exponent/mantissa chain with a fake per-lane "block max" (= p)
+        from llm_mixed_q_tpu.kernels.attention_decode import _exp2_exact
+        pm = p
+        exponent = jnp.clip(jnp.ceil(jnp.log2(pm)), -127.0, 128.0)
+        two_e = _exp2_exact(exponent)
+        inv_e = _exp2_exact(-exponent)
+        mant = jnp.clip(jnp.round((p + 1e-9) * (inv_e * 32.0)), 0.0, 31.0)
+        q = two_e * (mant * (1.0 / 32.0))
+        p = jnp.where(p <= 1e-8, p, q)
+    elif stage != "softmax":
         p = _quantize_probs_strided(p, *PROB_Q, stride=NKV, s_len=S,
                                     interpret=False)
     o_ref[0] = jax.lax.dot_general(
@@ -237,6 +263,8 @@ def main():
         inputs)
     runs["v2_dots"] = lambda: chain(call_v2("dots"), inputs)
     runs["v2_softmax"] = lambda: chain(call_v2("softmax"), inputs)
+    runs["v2_qmax"] = lambda: chain(call_v2("qmax"), inputs)
+    runs["v2_qmath"] = lambda: chain(call_v2("qmath"), inputs)
     runs["v2_full"] = lambda: chain(call_v2("full"), inputs)
     runs["v3_masks"] = lambda: chain(call_v3(), inputs)
 

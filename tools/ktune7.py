@@ -111,11 +111,19 @@ def main():
         if "sub" in which:
             subs = [pack_block_fp_subbyte(w, 6, 8, 127, [1, 16]) for w in ws]
             nb = packed_nbytes(subs[0])
+            nt = subs[0].words.shape[1] // 128
+            tps_opts = sorted(
+                {t for t in (1, 2, 3, nt // 2, nt) if t and nt % t == 0}
+            )
             for bn in (1024, 2048, 4096):
                 if bn > n:
                     continue
-                bench(f"{sname:8s} sub  bn={bn}", n, k,
-                      bfp_matmul_subbyte_pallas, subs, nb, bn=bn)
+                for tps in tps_opts:
+                    bench(f"{sname:8s} sub  bn={bn} tps={tps}", n, k,
+                          bfp_matmul_subbyte_pallas, subs, nb, bn=bn,
+                          tps=tps)
+            bench(f"{sname:8s} sub  AUTO", n, k,
+                  bfp_matmul_subbyte_pallas, subs, nb)
             del subs
         del ws
 
