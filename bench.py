@@ -308,26 +308,33 @@ def make_decode_run(config, quantize_weights):
             )
             return (jnp.argmax(logits, -1)[:, None].astype(jnp.int32), c)
 
-        tok, _ = lax.fori_loop(0, steps, body, (tok0, cache))
-        return tok.sum()
+        tok, cache = lax.fori_loop(0, steps, body, (tok0, cache))
+        return tok.sum(), cache
 
-    return jax.jit(run)
+    # the cache is DONATED and returned: without donation XLA keeps input
+    # and loop-carry copies live simultaneously — 2x cache HBM, which is
+    # what OOM'd the 7B batch-64 sweep (cache alone is ~5.4GB there)
+    return jax.jit(run, donate_argnums=(2,))
 
 
 def bench_decode(run, params, cache, batch, steps, reps):
     """tokens/s via the slope between two chain lengths (RTT + fixed
     dispatch cancel out). params/cache are jit ARGUMENTS (nothing
-    captured); `reps` timed pairs, best-of taken."""
+    captured); `reps` timed pairs, best-of taken. The donated cache is
+    threaded through the calls (contents are irrelevant to timing)."""
     tok0 = jnp.ones((batch, 1), dtype=jnp.int32)
-    float(run(params, tok0, cache, 1))  # compile + warmup
+    out, cache = run(params, tok0, cache, 1)  # compile + warmup
+    float(out)
 
     def t_at(n):
+        nonlocal cache
         t0 = time.perf_counter()
-        float(run(params, tok0, cache, n))
+        out, cache = run(params, tok0, cache, n)
+        float(out)
         return time.perf_counter() - t0
 
+    t_at(max(2, steps // 8))
     lo = max(2, steps // 8)
-    t_at(lo)
     t_lo = min(t_at(lo) for _ in range(reps))
     t_hi = min(t_at(steps) for _ in range(reps))
     return batch * (steps - lo) / (t_hi - t_lo)

