@@ -529,13 +529,18 @@ def stage_decode_7b(on_tpu):
     if on_tpu and remaining() > 240:
         from llm_mixed_q_tpu.models.llama.serving import ContinuousBatcher
 
+        # slots capped at 32: the batched-admission prefill materializes
+        # f32 past_kvs for every slot row (~8.6GB at 64 slots x 7B) before
+        # encoding — 64-slot serving needs the chunked prefill, not worth
+        # it for this admission-latency metric
+        nslots = min(batch, 32)
         srv = ContinuousBatcher(
-            packed, config, num_slots=batch, max_len=max_len,
+            packed, config, num_slots=nslots, max_len=max_len,
             quantize_weights=False, max_new_tokens=16, prompt_bucket=32,
         )
         srv.warmup(buckets=[32])
         rng = np.random.default_rng(0)
-        prompts = [rng.integers(2, vocab - 2, size=24) for _ in range(batch)]
+        prompts = [rng.integers(2, vocab - 2, size=24) for _ in range(nslots)]
         t0 = time.perf_counter()
         for p in prompts:
             srv.submit(p)

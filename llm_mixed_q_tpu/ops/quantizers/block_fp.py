@@ -31,7 +31,11 @@ def _block_fp_qdq(
     block_size=(16,),
     skip_first_dim: bool = True,
 ):
-    per_block_max = block_abs_max(x, block_size, skip_first_dim)
+    # zero_fill="one": collective-free under TP; output-identical because
+    # block_fp's |x| <= 1e-8 passthrough returns every element of a zero
+    # block unchanged for any scale (see blocking._fix_zero_blocks)
+    per_block_max = block_abs_max(x, block_size, skip_first_dim,
+                                  zero_fill="one")
 
     mantissa_bits = width - 1
     if exponent_bias in (None, "none", "None"):

@@ -63,21 +63,35 @@ def _pad_to_multiple(x: jnp.ndarray, dims: Sequence[int], blocks: Sequence[int])
     return x
 
 
-def _fix_zero_blocks(pbm: jnp.ndarray) -> jnp.ndarray:
+def _fix_zero_blocks(pbm: jnp.ndarray, zero_fill: str = "nonzero_min"
+                     ) -> jnp.ndarray:
     """Replace zero per-block maxes.
 
     Reference semantics (e.g. block_fp.py:54-58): if ALL per-block maxes are 0,
     use 1.0 everywhere; otherwise replace the zeros with the smallest non-zero
     per-block max.
-    """
+
+    ``zero_fill="one"`` fills zero blocks with the constant 1.0 instead. The
+    nonzero-min is a GLOBAL reduction over the whole tensor — under tensor
+    parallelism it forces a cross-shard all-reduce-min per quantizer call
+    (2/layer in the TP decode HLO, round-5 scaling census). For quantizers
+    with the |x| <= 1e-8 element passthrough (block_fp), the fill value is
+    provably output-irrelevant: a zero block max means every element is
+    exactly 0, and those elements pass through unchanged for ANY scale — so
+    the qdq path may use the collective-free constant while the PACK paths
+    keep the reference fill (stored scale bytes stay bit-identical to the
+    reference and the native packer)."""
     is_zero = pbm == 0
+    if zero_fill == "one":
+        return jnp.where(is_zero, jnp.ones((), pbm.dtype), pbm)
     nonzero_min = jnp.min(jnp.where(is_zero, jnp.inf, pbm))
     fill = jnp.where(jnp.isinf(nonzero_min), jnp.ones((), pbm.dtype), nonzero_min)
     return jnp.where(is_zero, fill, pbm)
 
 
 def block_abs_max(
-    x: jnp.ndarray, block_size: Sequence[int] | int, skip_first_dim: bool
+    x: jnp.ndarray, block_size: Sequence[int] | int, skip_first_dim: bool,
+    zero_fill: str = "nonzero_min",
 ) -> jnp.ndarray:
     """Per-block abs-max broadcast back to ``x.shape`` (zero blocks fixed).
 
@@ -98,7 +112,7 @@ def block_abs_max(
         xp = _pad_to_multiple(x, [0], [bs])
         nb = xp.shape[0] // bs
         pbm = jnp.max(jnp.abs(xp).reshape(nb, bs), axis=1)
-        pbm = _fix_zero_blocks(pbm)
+        pbm = _fix_zero_blocks(pbm, zero_fill)
         out = jnp.repeat(pbm, bs)[:n]
         return out
 
@@ -108,7 +122,7 @@ def block_abs_max(
         xp = _pad_to_multiple(x, [1], [bs])
         nb = xp.shape[1] // bs
         pbm = jnp.max(jnp.abs(xp).reshape(b, nb, bs), axis=2)
-        pbm = _fix_zero_blocks(pbm)
+        pbm = _fix_zero_blocks(pbm, zero_fill)
         out = jnp.repeat(pbm, bs, axis=1)[:, :h]
         return out
 
@@ -118,7 +132,7 @@ def block_abs_max(
         xp = _pad_to_multiple(x, [0, 1], [bs0, bs1])
         nb0, nb1 = xp.shape[0] // bs0, xp.shape[1] // bs1
         pbm = jnp.max(jnp.abs(xp).reshape(nb0, bs0, nb1, bs1), axis=(1, 3))
-        pbm = _fix_zero_blocks(pbm)
+        pbm = _fix_zero_blocks(pbm, zero_fill)
         out = jnp.repeat(jnp.repeat(pbm, bs0, axis=0), bs1, axis=1)[:r, :c]
         return out
 
@@ -128,7 +142,7 @@ def block_abs_max(
         xp = _pad_to_multiple(x, [1, 2], [bs1, bs2])
         nb1, nb2 = xp.shape[1] // bs1, xp.shape[2] // bs2
         pbm = jnp.max(jnp.abs(xp).reshape(b, nb1, bs1, nb2, bs2), axis=(2, 4))
-        pbm = _fix_zero_blocks(pbm)
+        pbm = _fix_zero_blocks(pbm, zero_fill)
         out = jnp.repeat(jnp.repeat(pbm, bs1, axis=1), bs2, axis=2)[:, :d1, :d2]
         return out
 
